@@ -1,0 +1,59 @@
+"""Crawl job configuration.
+
+Defaults mirror the reference's default config
+(/root/reference/src/crawler.py:93-145) with the web-app-only knobs
+(proxy, JS browser, PageSpeed API) dropped and the scale knobs
+(shards, batch sizes, wave caps) added for the Ray engine.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+DEFAULT_ISSUE_EXCLUSION_PATTERNS = [
+    # WordPress admin & system paths (crawler.py:129-143)
+    "/wp-admin/*", "/wp-content/plugins/*", "/wp-content/themes/*",
+    "/wp-content/uploads/*", "/wp-includes/*", "/wp-login.php", "/wp-cron.php",
+    "/xmlrpc.php", "/wp-json/*", "/wp-activate.php", "/wp-signup.php",
+    "/wp-trackback.php",
+    # Auth & user management pages
+    "/login*", "/signin*", "/sign-in*", "/log-in*", "/auth/*", "/authenticate/*",
+    "/register*", "/signup*", "/sign-up*", "/registration/*",
+    "/logout*", "/signout*", "/sign-out*", "/log-out*",
+    "/forgot-password*", "/reset-password*", "/password-reset*",
+    "/recover-password*", "/change-password*", "/account/password/*",
+    "/user/password/*",
+    "*.map", "*.min.js", "*.min.css",
+]
+
+
+@dataclass
+class CrawlConfig:
+    # reference-parity knobs (crawler.py:95-145)
+    max_depth: int = 3
+    max_urls: int = 1000
+    delay: float = 1.0
+    crawl_external: bool = False
+    respect_robots: bool = True
+    user_agent: str = "LibreCrawl/1.0 (Web Crawler)"
+    include_extensions: list[str] = field(
+        default_factory=lambda: ["html", "htm", "php", "asp", "aspx", "jsp"])
+    exclude_extensions: list[str] = field(
+        default_factory=lambda: ["pdf", "doc", "docx", "zip", "exe", "dmg"])
+    include_patterns: list[str] = field(default_factory=list)
+    exclude_patterns: list[str] = field(default_factory=list)
+    max_file_size: int = 50 * 1024 * 1024
+    discover_sitemaps: bool = True
+    enable_duplication_check: bool = True
+    duplication_threshold: float = 0.85
+    issue_exclusion_patterns: list[str] = field(
+        default_factory=lambda: list(DEFAULT_ISSUE_EXCLUSION_PATTERNS))
+
+    # Ray engine knobs (no reference equivalent)
+    seen_shards: int = 8           # URL-seen actor shards; scale with cluster size
+    seen_capacity: int = 1 << 20   # per-shard cuckoo capacity; 10^10-URL deployments size this up
+    seen_exact: bool = True        # keep exact 64-bit spill set alongside the filter (parity mode)
+    extract_batch_size: int = 128  # HTML rows per batch (wide binary rows -> small batches)
+    extract_concurrency: int | None = None  # actor pool size; None -> tasks sized by Ray
+    politeness_shards: int = 4
+    hot_host_salt: int = 8         # sub-shards for hosts exceeding the skew threshold
+    hot_host_threshold: int = 5000  # frontier rows per host per wave before salting kicks in

@@ -1,0 +1,182 @@
+"""Minimal DOM built on stdlib ``html.parser`` for reference-parity extraction.
+
+BeautifulSoup is not available in this environment, so this module provides
+the small subset of DOM semantics the extraction operators need, matching
+the behavior of ``BeautifulSoup(content, 'html.parser')`` as used by the
+reference (``/root/reference/src/core/seo_extractor.py`` and
+``/root/reference/src/core/link_manager.py``):
+
+- character references are decoded (``convert_charrefs=True`` default),
+- ``get_text()`` concatenates all descendant text (scripts/styles included,
+  comments excluded) with no separator,
+- attributes keep their first occurrence; multi-valued attributes (``rel``)
+  can be matched by membership,
+- void elements (``meta``, ``img``, ``link``, ``br``, ...) never take
+  children,
+- mismatched end tags pop the open-element stack up to the matching tag and
+  are otherwise ignored (the synthetic corpus is well-formed, so the exotic
+  implied-end-tag rules of html5 parsers are intentionally out of scope).
+
+Parsing is row-wise by nature (like the reference's per-page soup); the Ray
+pipeline amortizes it via ``map_batches`` actor pools.
+"""
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# rel is the only multi-valued attribute the extractors match on
+_MULTI_VALUED = frozenset({"rel"})
+
+
+class Node:
+    """One element node. ``children`` holds Node and str (text) members."""
+
+    __slots__ = ("name", "attrs", "children", "parent")
+
+    def __init__(self, name: str, attrs: dict, parent: "Node | None"):
+        self.name = name
+        self.attrs = attrs
+        self.children: list = []
+        self.parent = parent
+
+    # -- attribute access -------------------------------------------------
+    def get(self, key: str, default=None):
+        return self.attrs.get(key, default)
+
+    def has_attr(self, key: str) -> bool:
+        return key in self.attrs
+
+    def attr_contains(self, key: str, value: str) -> bool:
+        """Membership match for (possibly) multi-valued attributes,
+        mirroring bs4's list-valued ``rel`` handling."""
+        raw = self.attrs.get(key)
+        if raw is None:
+            return False
+        if key in _MULTI_VALUED:
+            return value in raw.split()
+        return raw == value
+
+    # -- traversal --------------------------------------------------------
+    def iter_elements(self):
+        """All descendant elements in document order (self excluded)."""
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Node):
+                yield node
+                stack.extend(reversed(node.children))
+
+    def get_text(self) -> str:
+        parts: list[str] = []
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, str):
+                parts.append(node)
+            else:
+                stack.extend(reversed(node.children))
+        return "".join(parts)
+
+    @property
+    def string(self) -> str | None:
+        """bs4 ``.string``: the single text child, else None."""
+        texts = [c for c in self.children if isinstance(c, str)]
+        if len(texts) == 1 and all(isinstance(c, str) for c in self.children):
+            return texts[0]
+        if not self.children:
+            return None
+        if len(self.children) == 1 and isinstance(self.children[0], str):
+            return self.children[0]
+        return None
+
+    # -- finders ----------------------------------------------------------
+    def find(self, _tag: str | None = None, **attr_filters):
+        # keyword filters may include "name" (e.g. find("meta", name="description")),
+        # so the tag is the positional argument only
+        for el in self.iter_elements():
+            if _matches(el, _tag, attr_filters):
+                return el
+        return None
+
+    def find_all(self, _tag: str | None = None, limit: int | None = None, **attr_filters):
+        out = []
+        for el in self.iter_elements():
+            if _matches(el, _tag, attr_filters):
+                out.append(el)
+                if limit is not None and len(out) >= limit:
+                    break
+        return out
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"<Node {self.name} {self.attrs}>"
+
+
+def _matches(el: Node, name: str | None, attr_filters: dict) -> bool:
+    if name is not None and el.name != name:
+        return False
+    for key, want in attr_filters.items():
+        key = key.rstrip("_")  # allow class_= style
+        if want is True:  # attribute presence
+            if key not in el.attrs:
+                return False
+        elif hasattr(want, "search"):  # compiled regex on the raw value
+            raw = el.attrs.get(key)
+            if raw is None or not want.search(raw):
+                return False
+        else:
+            if not el.attr_contains(key, want):
+                return False
+    return True
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("[document]", {}, None)
+        self.stack = [self.root]
+
+    def _attrs_dict(self, attrs) -> dict:
+        out = {}
+        for k, v in attrs:
+            if k not in out:  # first occurrence wins
+                out[k] = v if v is not None else ""
+        return out
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, self._attrs_dict(attrs), self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        node = Node(tag, self._attrs_dict(attrs), self.stack[-1])
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return
+        # pop to the matching open tag; ignore stray end tags
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].name == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+    # comments, PIs, declarations: ignored (not part of get_text)
+
+
+def parse_html(content: bytes | str) -> Node:
+    """Parse HTML bytes/str into a Node tree (document root)."""
+    if isinstance(content, (bytes, bytearray)):
+        content = content.decode("utf-8", errors="replace")
+    builder = _TreeBuilder()
+    builder.feed(content)
+    builder.close()
+    return builder.root
