@@ -1,0 +1,332 @@
+"""The distributed crawl job: streaming frontier waves over Ray Data.
+
+Dataflow per wave (SURVEY.md §7; all-to-all exchanges marked *):
+
+    frontier/wave=K (parquet)
+      -> map_batches(FetchExtract actors)        # fetch-sim + parse + extract
+      -> pages/wave=K (parquet, html-free)       # sink
+      -> explode _links -> links/wave=K          # sink
+      -> explode _outlinks
+      -> groupby(url).min(key)*                  # within-wave first-discovery
+      -> map_batches(SeenFilter -> seen shards)  # cross-wave dedup (actors)
+      -> sort(key)*                              # FIFO parity order
+      -> limit(max_urls - crawled)
+      -> add_global_rank
+      -> frontier/wave=K+1 (parquet)
+    checkpoint: seen shard .npz + politeness parquet + metrics + _WAVE_OK
+
+Equivalence to the reference's FIFO deque (link_manager.py:177-182): BFS
+with children appended in document order per source makes the global FIFO
+order exactly the wave concatenation ordered by (source rank, link index) =
+``key``; first discovery wins on duplicates = ``min(key)``. The oracle in
+``oracle/sim.py`` replays the sequential semantics; ``tests/`` assert
+equality of order, seen-set, pages, links and issues.
+
+Scale properties: the corpus is broadcast once (``ray.put``) at test scale —
+``CorpusStore`` documents the bucketed-parquet path for corpora beyond
+object-store size; frontier/pages/links stream block-wise and never
+materialize on the driver (the driver holds counts only); every wave output
+is a separate parquet partition so a killed run resumes from the last
+``_WAVE_OK`` marker with identical state.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+from urllib.parse import urlparse
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Min
+
+from ..config import CrawlConfig
+from ..functions.urls import ShouldCrawl, normalize_seed
+from ..sources.sitemaps import discover_sitemap_urls, load_sitemap_bodies
+from ..state.politeness import host_shard, make_politeness_shards
+from ..state.robots import RobotsIndex
+from ..state.urlseen import make_seen_shards
+from ..stages.dedup_stage import SeenFilter, register_urls
+from ..stages.extract_stage import FetchExtract, explode_links, explode_outlinks
+
+
+@ray.remote
+def _count_rows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _add_rank_block(tbl: pa.Table, offset: int) -> pa.Table:
+    rank = pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
+    return tbl.append_column("rank", rank)
+
+
+def add_global_rank(ds: "ray.data.Dataset", offset: int) -> "ray.data.Dataset":
+    """zipWithIndex over a sorted, materialized dataset: per-block counts ->
+    prefix-sum offsets -> per-block arange. Block-parallel; no driver rows."""
+    refs = ds.to_arrow_refs()
+    counts = ray.get([_count_rows.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) + offset if counts else []
+    new_refs = [_add_rank_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(new_refs)
+
+
+def load_corpus_table(corpus_dir: str) -> pa.Table:
+    pages = pq.read_table(os.path.join(corpus_dir, "pages.parquet"),
+                          columns=["url", "html"])
+    meta = pq.read_table(os.path.join(corpus_dir, "meta.parquet"),
+                         columns=["status_code", "content_type_header"])
+    return pa.table({
+        "url": pages["url"], "html": pages["html"],
+        "status_code": meta["status_code"],
+        "content_type_header": meta["content_type_header"],
+    })
+
+
+class CrawlJob:
+    def __init__(self, corpus_dir: str, out_dir: str, config: CrawlConfig,
+                 seed_url: str | None = None, mode: str = "parity"):
+        self.corpus_dir = corpus_dir
+        self.out_dir = out_dir
+        self.config = config
+        self.mode = mode
+        if seed_url is None:
+            seeds = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
+            seed_url = seeds["url"][0].as_py()
+        self.seed_url_raw = seed_url
+        self.metrics: list[dict] = []
+
+    # -- layout -----------------------------------------------------------
+    def _p(self, *parts: str) -> str:
+        return os.path.join(self.out_dir, *parts)
+
+    def _marker(self, wave: int) -> str:
+        return self._p(f"_WAVE_{wave}_OK")
+
+    # -- main -------------------------------------------------------------
+    def run(self, resume: bool = False) -> dict:
+        cfg = self.config
+        os.makedirs(self.out_dir, exist_ok=True)
+        t_start = time.perf_counter()
+
+        seed_url, base_url, base_domain, has_path = normalize_seed(self.seed_url_raw)
+        max_depth = 0 if has_path else cfg.max_depth
+        self.base_domain = base_domain
+
+        robots = RobotsIndex.from_parquet(os.path.join(self.corpus_dir, "robots.parquet"))
+        corpus_tbl = load_corpus_table(self.corpus_dir)
+        corpus_ref = ray.put(corpus_tbl)
+        robots_ref = ray.put(robots)
+        n_corpus = corpus_tbl.num_rows
+        del corpus_tbl
+
+        seen = make_seen_shards(cfg.seen_shards, cfg.seen_capacity, cfg.seen_exact)
+        politeness = make_politeness_shards(cfg.politeness_shards, cfg.delay)
+
+        start_wave = 0
+        crawled_total = 0
+        if resume:
+            start_wave, crawled_total = self._restore(seen, politeness)
+
+        if start_wave == 0:
+            n0 = self._build_wave0(seed_url, base_domain, robots, seen, cfg)
+            if n0 == 0:
+                self._finish(t_start, crawled_total, n_corpus)
+                return self.summary()
+
+        wave = start_wave
+        while True:
+            frontier_path = self._p("frontier", f"wave={wave}")
+            if not os.path.isdir(frontier_path) or not os.listdir(frontier_path):
+                break
+            n_next, n_frontier = self._run_wave(
+                wave, frontier_path, corpus_ref, robots_ref, robots,
+                base_domain, max_depth, seen, politeness, crawled_total)
+            crawled_total += n_frontier
+            self._checkpoint(wave, seen, politeness, crawled_total)
+            if n_next == 0 or crawled_total >= cfg.max_urls:
+                break
+            wave += 1
+
+        self._finish(t_start, crawled_total, n_corpus)
+        return self.summary()
+
+    # -- wave 0 -----------------------------------------------------------
+    def _build_wave0(self, seed_url: str, base_domain: str, robots: RobotsIndex,
+                     seen, cfg: CrawlConfig) -> int:
+        should_crawl = ShouldCrawl(
+            base_domain, cfg.crawl_external, cfg.respect_robots,
+            cfg.include_extensions, cfg.exclude_extensions,
+            cfg.include_patterns, cfg.exclude_patterns,
+            robots_index=robots, user_agent=cfg.user_agent)
+        urls = [seed_url]  # seed enqueued unconditionally (crawler.py:248-250)
+        if cfg.discover_sitemaps:
+            bodies = load_sitemap_bodies(os.path.join(self.corpus_dir, "sitemaps.parquet"))
+            for u in discover_sitemap_urls(seed_url, bodies, robots):
+                if should_crawl(u):
+                    urls.append(u)
+        flags = register_urls(seen, urls)
+        frontier = [u for u, f in zip(urls, flags) if f][: cfg.max_urls]
+        tbl = pa.table({
+            "url": pa.array(frontier, pa.large_string()),
+            "host": pa.array([urlparse(u).netloc for u in frontier]),
+            "depth": pa.array([0] * len(frontier), pa.int32()),
+            "key": pa.array(list(range(len(frontier))), pa.int64()),
+            "rank": pa.array(list(range(len(frontier))), pa.int64()),
+        })
+        path = self._p("frontier", "wave=0")
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(tbl, os.path.join(path, "part-0.parquet"))
+        return len(frontier)
+
+    # -- one wave ---------------------------------------------------------
+    def _run_wave(self, wave: int, frontier_path: str, corpus_ref, robots_ref,
+                  robots: RobotsIndex, base_domain: str, max_depth: int,
+                  seen, politeness, crawled_total: int) -> tuple[int, int]:
+        cfg = self.config
+        t0 = time.perf_counter()
+        frontier = ray.data.read_parquet(frontier_path)
+
+        # politeness budget is consumed by THIS wave's fetches
+        makespan = self._advance_politeness(frontier, politeness, robots)
+
+        extracted = frontier.map_batches(
+            FetchExtract,
+            fn_constructor_args=(corpus_ref, robots_ref, base_domain,
+                                 self._cfg_dict(), max_depth, wave),
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            concurrency=self._extract_concurrency(),
+            num_cpus=1,
+        ).materialize()
+        n_frontier = extracted.count()
+
+        # sinks: pages (html-free by construction) and exploded link records
+        extracted.drop_columns(["_links", "_outlinks"]).write_parquet(
+            self._p("pages", f"wave={wave}"))
+        extracted.select_columns(["_links", "rank", "wave"]).map_batches(
+            explode_links, batch_format="pyarrow").write_parquet(
+            self._p("links", f"wave={wave}"))
+
+        # next frontier
+        candidates = extracted.select_columns(["_outlinks", "depth"]).map_batches(
+            explode_outlinks, batch_format="pyarrow")
+        collapsed = candidates.groupby("url").aggregate(Min("key"), Min("depth"))
+        collapsed = collapsed.map_batches(_rename_collapsed, batch_format="pyarrow")
+        fresh = collapsed.map_batches(SeenFilter, fn_constructor_args=(seen,),
+                                      batch_format="pyarrow", concurrency=2,
+                                      num_cpus=0.25)
+        remaining = max(0, cfg.max_urls - crawled_total - n_frontier)
+        ordered = fresh.sort("key").limit(remaining) if remaining else fresh.limit(0)
+        mat = ordered.materialize()
+        ranked = add_global_rank(mat, crawled_total + n_frontier).materialize()
+        n_next = ranked.count()
+        if n_next:
+            ranked.write_parquet(self._p("frontier", f"wave={wave + 1}"))
+
+        wall = time.perf_counter() - t0
+        self.metrics.append({
+            "wave": wave, "n_frontier": n_frontier, "n_new": n_next,
+            "crawled_total": crawled_total + n_frontier,
+            "wall_sec": round(wall, 4),
+            "urls_per_sec": round(n_frontier / wall, 2) if wall > 0 else 0.0,
+            "politeness_makespan": makespan,
+        })
+        return n_next, n_frontier
+
+    def _advance_politeness(self, frontier_ds, politeness,
+                            robots: RobotsIndex) -> float:
+        counts = frontier_ds.groupby("host").count().take_all()  # hosts/wave: small
+        per_shard: dict[int, dict[str, tuple[int, float]]] = {}
+        for row in counts:
+            h = row["host"]
+            delay = robots.crawl_delay(self.config.user_agent, h,
+                                       default=self.config.delay)
+            per_shard.setdefault(host_shard(h, len(politeness)), {})[h] = (
+                row["count()"], delay)
+        refs = [politeness[s].advance_counts.remote(d) for s, d in per_shard.items()]
+        ray.get(refs)
+        return max(ray.get([p.makespan.remote() for p in politeness]), default=0.0)
+
+    # -- checkpoint / resume ---------------------------------------------
+    def _checkpoint(self, wave: int, seen, politeness, crawled_total: int) -> None:
+        refs = [s.checkpoint.remote(self._p("seen", f"wave={wave}", f"shard={i}.npz"))
+                for i, s in enumerate(seen)]
+        refs += [p.checkpoint.remote(self._p("politeness", f"wave={wave}", f"shard={i}.parquet"))
+                 for i, p in enumerate(politeness)]
+        ray.get(refs)
+        meta = dict(self.metrics[-1]) if self.metrics else {}
+        meta["crawled_total"] = crawled_total
+        with open(self._p(f"metrics_wave_{wave}.json"), "w") as f:
+            json.dump(meta, f)
+        with open(self._marker(wave), "w") as f:
+            f.write("ok")
+
+    def _restore(self, seen, politeness) -> tuple[int, int]:
+        done = [int(p.split("_")[2]) for p in os.listdir(self.out_dir)
+                if p.startswith("_WAVE_") and p.endswith("_OK")]
+        if not done:
+            return 0, 0
+        last = max(done)
+        ray.get([s.restore.remote(self._p("seen", f"wave={last}", f"shard={i}.npz"))
+                 for i, s in enumerate(seen)])
+        pol_dir = self._p("politeness", f"wave={last}")
+        if os.path.isdir(pol_dir):
+            ray.get([p.restore.remote(os.path.join(pol_dir, f"shard={i}.parquet"))
+                     for i, p in enumerate(politeness)])
+        with open(self._p(f"metrics_wave_{last}.json")) as f:
+            crawled_total = json.load(f)["crawled_total"]
+        # discard any partial output beyond the last complete wave
+        for sub in ("pages", "links"):
+            for wdir in os.listdir(self._p(sub)) if os.path.isdir(self._p(sub)) else []:
+                if int(wdir.split("=")[1]) > last:
+                    import shutil
+                    shutil.rmtree(self._p(sub, wdir))
+        return last + 1, crawled_total
+
+    def _finish(self, t_start: float, crawled_total: int, n_corpus: int) -> None:
+        wall = time.perf_counter() - t_start
+        summary = {
+            "crawled_total": crawled_total, "wall_sec": round(wall, 4),
+            "urls_per_sec": round(crawled_total / wall, 2) if wall else 0.0,
+            "n_corpus": n_corpus, "waves": self.metrics,
+        }
+        with open(self._p("metrics.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+
+    def summary(self) -> dict:
+        with open(self._p("metrics.json")) as f:
+            return json.load(f)
+
+    # -- helpers ----------------------------------------------------------
+    def _cfg_dict(self) -> dict:
+        return asdict(self.config)
+
+    def _extract_concurrency(self):
+        c = self.config.extract_concurrency
+        if c is not None:
+            return c
+        try:
+            n = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            n = 4
+        # leave headroom for the read/write/shuffle tasks and the SeenFilter pool
+        return max(2, min(24, n - 3))
+
+
+def _rename_collapsed(batch: pa.Table) -> pa.Table:
+    """groupby output (url, min(key), min(depth)) -> frontier candidate cols."""
+    url = batch["url"]
+    key = batch["min(key)"]
+    depth = batch["min(depth)"]
+    host = pa.array([urlparse(u).netloc for u in url.to_pylist()])
+    return pa.Table.from_arrays(
+        [url.combine_chunks() if isinstance(url, pa.ChunkedArray) else url,
+         host,
+         key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key,
+         depth.combine_chunks() if isinstance(depth, pa.ChunkedArray) else depth],
+        names=["url", "host", "key", "depth"])

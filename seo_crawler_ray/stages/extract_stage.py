@@ -1,0 +1,210 @@
+"""Fetch+extract stage: the hot ``map_batches`` actor of the crawl.
+
+One actor pool stage fuses simulated fetch (corpus lookup), HTML parse, all
+ten reference extractors, link-record collection and outlink candidate
+generation — mirroring the reference's single-pass-per-page design
+(/root/reference/src/crawler.py:869-902) while batching over Arrow.
+
+Scale notes:
+- the corpus lives in the object store as ONE Arrow table (``ray.put`` once);
+  each actor builds a url->row-index dict in ``__init__`` (once per actor,
+  not per batch) and slices ``html`` buffers zero-copy per row,
+- robots + config are broadcast the same way,
+- the wide ``html`` column never enters this stage's *output* — pages rows
+  carry extracted fields only, so downstream shuffles move narrow data,
+- per-row candidate outlinks are pre-filtered by the should-crawl predicate
+  here (pure string logic + broadcast robots; no shuffle), leaving only the
+  cross-wave seen-check for the URL-seen shards.
+
+Output columns: the page-result schema of SURVEY.md §1.6 plus
+``_links`` (list<struct>) and ``_outlinks`` (list<struct{url,host,key}>)
+which the driver explodes into the ``links`` and frontier datasets.
+``key = rank * 2^21 + link_idx`` encodes the FIFO discovery order (rank is
+the source page's global crawl sequence; 2^21 bounds anchors per page), so
+``min(key)`` per target = first discovery, and sorting the next wave by
+``key`` reproduces the reference's deque order exactly.
+"""
+from __future__ import annotations
+
+import json
+from urllib.parse import urlparse
+
+import pyarrow as pa
+import ray
+
+from ..functions.extract import empty_result, extract_page
+from ..functions.urls import ShouldCrawl, is_internal
+
+LINK_IDX_BITS = 21
+
+PAGES_SCHEMA = pa.schema([
+    ("url", pa.large_string()),
+    ("status_code", pa.int32()),
+    ("content_type", pa.string()),
+    ("size", pa.int64()),
+    ("is_internal", pa.bool_()),
+    ("depth", pa.int32()),
+    ("rank", pa.int64()),
+    ("wave", pa.int32()),
+    ("title", pa.large_string()),
+    ("meta_description", pa.large_string()),
+    ("h1", pa.large_string()),
+    ("h2", pa.list_(pa.string())),
+    ("h3", pa.list_(pa.string())),
+    ("word_count", pa.int64()),
+    ("meta_tags", pa.map_(pa.string(), pa.string())),
+    ("og_tags", pa.map_(pa.string(), pa.string())),
+    ("twitter_tags", pa.map_(pa.string(), pa.string())),
+    ("canonical_url", pa.large_string()),
+    ("lang", pa.string()),
+    ("charset", pa.string()),
+    ("viewport", pa.string()),
+    ("robots", pa.string()),
+    ("author", pa.string()),
+    ("keywords", pa.large_string()),
+    ("generator", pa.string()),
+    ("theme_color", pa.string()),
+    ("json_ld", pa.large_string()),          # arbitrary JSON, encoded
+    ("analytics", pa.struct([
+        ("google_analytics", pa.bool_()), ("gtag", pa.bool_()),
+        ("ga4_id", pa.string()), ("gtm_id", pa.string()),
+        ("facebook_pixel", pa.bool_()), ("hotjar", pa.bool_()),
+        ("mixpanel", pa.bool_()),
+    ])),
+    ("images", pa.list_(pa.struct([
+        ("src", pa.large_string()), ("alt", pa.large_string()),
+        ("width", pa.string()), ("height", pa.string()),
+    ]))),
+    ("internal_links", pa.int64()),
+    ("external_links", pa.int64()),
+    ("response_time", pa.float64()),
+    ("redirects", pa.list_(pa.string())),
+    ("hreflang", pa.list_(pa.struct([("lang", pa.string()), ("url", pa.large_string())]))),
+    ("schema_org", pa.large_string()),       # list<struct{type, properties map}>, encoded
+    ("error", pa.large_string()),
+    ("_links", pa.list_(pa.struct([
+        ("source_url", pa.large_string()), ("target_url", pa.large_string()),
+        ("anchor_text", pa.large_string()), ("is_internal", pa.bool_()),
+        ("target_domain", pa.string()), ("placement", pa.string()),
+        ("link_idx", pa.int32()),
+    ]))),
+    ("_outlinks", pa.list_(pa.struct([
+        ("url", pa.large_string()), ("host", pa.string()), ("key", pa.int64()),
+    ]))),
+])
+
+LINKS_SCHEMA = pa.schema([
+    ("source_url", pa.large_string()), ("target_url", pa.large_string()),
+    ("anchor_text", pa.large_string()), ("is_internal", pa.bool_()),
+    ("target_domain", pa.string()), ("placement", pa.string()),
+    ("link_idx", pa.int32()), ("source_rank", pa.int64()), ("wave", pa.int32()),
+])
+
+
+class FetchExtract:
+    """Callable class for ``map_batches(..., concurrency=N)`` actor pools."""
+
+    def __init__(self, corpus_ref, robots_ref, base_domain: str, cfg_dict: dict,
+                 max_depth: int, wave: int):
+        corpus: pa.Table = ray.get(corpus_ref)           # zero-copy from plasma
+        self._urls = corpus["url"].to_pylist()
+        self._index = {u: i for i, u in enumerate(self._urls)}
+        self._html = corpus["html"]
+        self._status = corpus["status_code"].to_pylist()
+        self._ct = corpus["content_type_header"].to_pylist()
+        robots = ray.get(robots_ref)
+        self.base_domain = base_domain
+        self.max_depth = max_depth
+        self.wave = wave
+        self.should_crawl = ShouldCrawl(
+            base_domain, cfg_dict["crawl_external"], cfg_dict["respect_robots"],
+            cfg_dict["include_extensions"], cfg_dict["exclude_extensions"],
+            cfg_dict["include_patterns"], cfg_dict["exclude_patterns"],
+            robots_index=robots, user_agent=cfg_dict["user_agent"])
+        self.crawl_external = cfg_dict["crawl_external"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        ranks = batch["rank"].to_pylist()
+        rows = []
+        for url, depth, rank in zip(urls, depths, ranks):
+            rows.append(self._one(url, int(depth), int(rank)))
+        cols = {name: [r[name] for r in rows] for name in PAGES_SCHEMA.names}
+        arrays = [pa.array(cols[f.name], type=f.type) for f in PAGES_SCHEMA]
+        return pa.Table.from_arrays(arrays, schema=PAGES_SCHEMA)
+
+    def _one(self, url: str, depth: int, rank: int) -> dict:
+        idx = self._index.get(url)
+        if idx is None:
+            # a live crawl would raise in requests -> create_empty_result
+            # (crawler.py:916-918)
+            result = empty_result(url, depth, 0, "fetch failed: not in corpus")
+            link_records, outlinks = [], []
+        else:
+            html = self._html[idx].as_py()
+            internal = is_internal(url, self.base_domain)
+            result, link_records, outlinks = extract_page(
+                html, url, depth, self.base_domain,
+                self._status[idx], self._ct[idx], internal)
+            result["error"] = None
+
+        row = dict(result)
+        row["rank"] = rank
+        row["wave"] = self.wave
+        row["meta_tags"] = list(result["meta_tags"].items())
+        row["og_tags"] = list(result["og_tags"].items())
+        row["twitter_tags"] = list(result["twitter_tags"].items())
+        row["json_ld"] = json.dumps(result["json_ld"])
+        row["schema_org"] = json.dumps(result["schema_org"])
+        row["_links"] = [
+            {"source_url": rec["source_url"], "target_url": rec["target_url"],
+             "anchor_text": rec["anchor_text"], "is_internal": rec["is_internal"],
+             "target_domain": rec["target_domain"], "placement": rec["placement"],
+             "link_idx": li}
+            for li, rec in enumerate(link_records)]
+
+        out = []
+        should_extract = ((result["is_internal"] and depth < self.max_depth)
+                          or (self.crawl_external and depth < self.max_depth))
+        if should_extract:
+            base_key = rank << LINK_IDX_BITS
+            for li, (clean_url, _href) in enumerate(outlinks):
+                if self.should_crawl(clean_url):
+                    out.append({"url": clean_url,
+                                "host": urlparse(clean_url).netloc,
+                                "key": base_key + li})
+        row["_outlinks"] = out
+        return row
+
+
+def explode_links(batch: pa.Table) -> pa.Table:
+    """_links list<struct> -> one row per link record (+source rank/wave)."""
+    col = batch["_links"].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pa.compute.list_flatten(col)
+    parents = pa.compute.list_parent_indices(col)
+    ranks = batch["rank"].take(parents)
+    waves = batch["wave"].take(parents)
+    struct = flat
+    arrays = [struct.field(n) for n in
+              ("source_url", "target_url", "anchor_text", "is_internal",
+               "target_domain", "placement", "link_idx")]
+    arrays += [ranks.combine_chunks() if isinstance(ranks, pa.ChunkedArray) else ranks,
+               waves.combine_chunks() if isinstance(waves, pa.ChunkedArray) else waves]
+    return pa.Table.from_arrays(arrays, schema=LINKS_SCHEMA)
+
+
+def explode_outlinks(batch: pa.Table) -> pa.Table:
+    """_outlinks -> candidate rows (url, host, key, depth=child depth)."""
+    col = batch["_outlinks"].combine_chunks()
+    flat = pa.compute.list_flatten(col)
+    parents = pa.compute.list_parent_indices(col)
+    depth = pa.compute.add(batch["depth"].take(parents), 1)
+    if isinstance(depth, pa.ChunkedArray):
+        depth = depth.combine_chunks()
+    return pa.Table.from_arrays(
+        [flat.field("url"), flat.field("host"), flat.field("key"),
+         depth.cast(pa.int32())],
+        names=["url", "host", "key", "depth"])
