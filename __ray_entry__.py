@@ -1,44 +1,39 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship crawl pipeline at sf0.001 — generates the synthetic
+  web corpus (deterministic, cached under /tmp), runs the distributed
+  frontier-expansion crawl, returns the extracted-pages projection.
+- ``queries()``: one callable per implemented operator (SURVEY.md §2 plus
+  the training-data operators); each takes ``sf_dir``.
+- ``oracle_sql()``: matching DuckDB SQL. Crawl/extraction queries read the
+  corpus sidecar oracles (generator truth / sequential-reference replay)
+  via read_parquet paths; training-data queries run on the pre-registered
+  views. Queries without an entry here (minhash/simhash near-dups, langid)
+  are verified by pytest against planted fixtures instead.
 """
-
 from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
 
+from seo_crawler_ray.pipelines import queries as _q
+
+# operators whose verification lives in tests/ (not SQL-expressible)
+_NO_ORACLE = {"minhash_near_dups", "simhash_near_dups", "langid"}
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _q.q_crawl_pages("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = _q.oracle_sql()
+    return {k: v for k, v in sql.items() if k not in _NO_ORACLE}

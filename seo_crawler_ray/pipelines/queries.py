@@ -1,0 +1,661 @@
+"""Query registry: every implemented operator as a callable(sf_dir) plus its
+DuckDB oracle SQL (driver contract, see /root/repo/__ray_entry__.py).
+
+Three oracle families:
+- generation-truth sidecars (``gen_truth``/``candidates`` parquet): computed
+  by the corpus *generator* from its IR, never by parsing — independent of
+  the engine's parser,
+- sequential-oracle sidecars (``expected_*`` parquet): produced by the
+  single-threaded reference-semantics replay in ``oracle/sim.py`` — they
+  check the distributed orchestration (ordering, dedup, joins),
+- live SQL over the TPC-H-ish driver views (documents/embeddings/events/
+  orders/customer) for the training-data operators.
+
+SQL strings are fixed at sf0.01 (the driver's correctness scale); calling
+``oracle_sql()`` triggers the (pure-Python) corpus+sim generation so the
+sidecar files exist regardless of invocation order.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.urls import canonicalize
+from ..sources.cache import DUP_SUBSET, corpus_dir, crawl_dir, flagship_config
+from . import analysis, embedops, events, textops
+
+SF01 = "/root/testdata/sf0.01"
+
+
+# ------------------------------------------------------------ helpers ----
+def _corpus(sf_dir: str) -> str:
+    return corpus_dir(sf_dir)
+
+
+def _pages_ds(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(crawl_dir(sf_dir), "pages"))
+
+
+def _links_ds(sf_dir: str):
+    import glob
+    from ..stages.extract_stage import LINKS_SCHEMA
+    d = os.path.join(crawl_dir(sf_dir), "links")
+    files = glob.glob(os.path.join(d, "wave=*", "*.parquet"))
+    if not files:
+        return ray.data.from_arrow(LINKS_SCHEMA.empty_table())
+    return ray.data.read_parquet(files)
+
+
+def _docs_ds(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb_ds(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events_ds(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+
+
+# ------------------------------------------------ crawl-output queries ----
+_PAGE_PROJ_COLS = [
+    "url", "seq", "depth", "status_code", "content_type", "size",
+    "is_internal", "title", "meta_description", "h1", "h2_joined",
+    "h3_joined", "word_count", "lang", "charset", "viewport", "robots",
+    "author", "keywords", "generator", "theme_color", "canonical_url",
+    "og_title", "og_author", "twitter_card", "json_ld_count",
+    "schema_org_count", "n_images", "images_without_alt", "internal_links",
+    "external_links", "ga4_id", "gtm_id",
+]
+
+
+def _project_pages(batch: pa.Table) -> pa.Table:
+    rows = batch.to_pylist()
+    out: dict[str, list] = {c: [] for c in _PAGE_PROJ_COLS}
+    for r in rows:
+        og = dict(r["og_tags"] or [])
+        tw = dict(r["twitter_tags"] or [])
+        a = r["analytics"]
+        imgs = r["images"] or []
+        out["url"].append(r["url"])
+        out["seq"].append(r["rank"] + 1)
+        out["depth"].append(r["depth"])
+        out["status_code"].append(r["status_code"])
+        out["content_type"].append(r["content_type"])
+        out["size"].append(r["size"])
+        out["is_internal"].append(r["is_internal"])
+        out["title"].append(r["title"])
+        out["meta_description"].append(r["meta_description"])
+        out["h1"].append(r["h1"])
+        out["h2_joined"].append(" | ".join(r["h2"] or []))
+        out["h3_joined"].append(" | ".join(r["h3"] or []))
+        out["word_count"].append(r["word_count"])
+        out["lang"].append(r["lang"])
+        out["charset"].append(r["charset"])
+        out["viewport"].append(r["viewport"])
+        out["robots"].append(r["robots"])
+        out["author"].append(r["author"])
+        out["keywords"].append(r["keywords"])
+        out["generator"].append(r["generator"])
+        out["theme_color"].append(r["theme_color"])
+        out["canonical_url"].append(r["canonical_url"])
+        out["og_title"].append(og.get("title", ""))
+        out["og_author"].append(og.get("author", ""))
+        out["twitter_card"].append(tw.get("card", ""))
+        out["json_ld_count"].append(len(json.loads(r["json_ld"] or "[]")))
+        out["schema_org_count"].append(len(json.loads(r["schema_org"] or "[]")))
+        out["n_images"].append(len(imgs))
+        out["images_without_alt"].append(sum(1 for im in imgs if not im["alt"]))
+        out["internal_links"].append(r["internal_links"])
+        out["external_links"].append(r["external_links"])
+        out["ga4_id"].append(a["ga4_id"])
+        out["gtm_id"].append(a["gtm_id"])
+    return pa.table(out)
+
+
+def q_crawl_pages(sf_dir: str):
+    return _pages_ds(sf_dir).map_batches(_project_pages, batch_format="pyarrow")
+
+
+def q_crawl_order(sf_dir: str):
+    pdf = (_pages_ds(sf_dir).select_columns(["url", "rank", "depth"])
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+    pdf["seq"] = pdf["rank"] + 1
+    return pdf[["seq", "url", "depth"]]
+
+
+def q_url_seen(sf_dir: str):
+    pdf = _pages_ds(sf_dir).select_columns(["url"]).to_pandas()
+    return pdf.sort_values("url").reset_index(drop=True)
+
+
+def q_extract_links(sf_dir: str):
+    ds = _links_ds(sf_dir).select_columns(
+        ["source_url", "target_url", "anchor_text", "is_internal",
+         "target_domain", "placement", "source_rank"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        seq = pa.compute.add(b["source_rank"], 1)
+        return b.drop_columns(["source_rank"]).append_column(
+            "source_seq", seq.combine_chunks() if isinstance(seq, pa.ChunkedArray) else seq)
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def q_link_target_status(sf_dir: str):
+    pdf = analysis.link_target_status(_links_ds(sf_dir), _pages_ds(sf_dir))
+    pdf = pdf[["source_url", "target_url", "target_status"]].copy()
+    pdf["target_status"] = pdf["target_status"].fillna(-1).astype("int64")
+    return pdf
+
+
+def q_linked_from(sf_dir: str):
+    return analysis.linked_from(_links_ds(sf_dir))
+
+
+def q_issues(sf_dir: str):
+    cfg = flagship_config()
+    return analysis.crawl_issues(_pages_ds(sf_dir), cfg.issue_exclusion_patterns)
+
+
+def q_issues_duplication(sf_dir: str):
+    cfg = flagship_config()
+    return analysis.duplication_issues_distributed(
+        _pages_ds(sf_dir), cfg.duplication_threshold,
+        cfg.issue_exclusion_patterns, DUP_SUBSET)
+
+
+def q_status_counts(sf_dir: str):
+    return analysis.status_counts(_pages_ds(sf_dir))
+
+
+def q_crawl_stats(sf_dir: str):
+    return analysis.crawl_stats(_pages_ds(sf_dir))
+
+
+def q_eeat_scores(sf_dir: str):
+    return analysis.eeat_scores(_pages_ds(sf_dir))
+
+
+# ----------------------------------------------- pure-extraction queries --
+class ExtractAll:
+    """Extraction over EVERY corpus html page (no crawl gating); checked
+    against the generator-IR ground truth (gen_truth.parquet)."""
+
+    def __init__(self, meta_ref, base_domain: str):
+        self.meta = ray.get(meta_ref)
+        self.base_domain = base_domain
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.extract import extract_page
+        from ..functions.urls import is_internal
+        rows = []
+        for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            status, ct = self.meta[url]
+            if "text/html" not in ct:
+                continue
+            res, _links, _outs = extract_page(
+                html, url, 0, self.base_domain, status, ct,
+                is_internal(url, self.base_domain))
+            og = res["og_tags"]
+            rows.append({
+                "url": url, "title": res["title"],
+                "meta_description": res["meta_description"], "h1": res["h1"],
+                "h2_joined": " | ".join(res["h2"]),
+                "h3_joined": " | ".join(res["h3"]),
+                "word_count": res["word_count"], "lang": res["lang"],
+                "charset": res["charset"], "viewport": res["viewport"],
+                "robots": res["robots"], "author": res["author"],
+                "keywords": res["keywords"], "generator": res["generator"],
+                "theme_color": res["theme_color"],
+                "canonical_url": res["canonical_url"],
+                "og_title": og.get("title", ""), "og_author": og.get("author", ""),
+                "twitter_card": res["twitter_tags"].get("card", ""),
+                "json_ld_count": len(res["json_ld"]),
+                "schema_org_count": len(res["schema_org"]),
+                "n_images": len(res["images"]),
+                "images_without_alt": sum(1 for im in res["images"] if not im["alt"]),
+                "internal_links": res["internal_links"],
+                "external_links": res["external_links"],
+                "ga4_id": res["analytics"]["ga4_id"],
+                "gtm_id": res["analytics"]["gtm_id"],
+            })
+        if not rows:
+            return pa.table({"url": pa.array([], pa.string())})
+        return pa.table({k: [r[k] for r in rows] for k in rows[0]})
+
+
+def q_extract_pages(sf_dir: str):
+    cdir = _corpus(sf_dir)
+    import pyarrow.parquet as pq
+    meta = pq.read_table(os.path.join(cdir, "meta.parquet"),
+                         columns=["url", "status_code", "content_type_header"])
+    meta_ref = ray.put(dict(zip(
+        meta["url"].to_pylist(),
+        zip(meta["status_code"].to_pylist(),
+            meta["content_type_header"].to_pylist()))))
+    with open(os.path.join(cdir, "corpus_meta.json")) as f:
+        base_domain = json.load(f)["base_domain"]
+    ds = ray.data.read_parquet(os.path.join(cdir, "pages.parquet"),
+                               columns=["url", "html"])
+    return ds.map_batches(ExtractAll, fn_constructor_args=(meta_ref, base_domain),
+                          batch_format="pyarrow", batch_size=128,
+                          concurrency=(1, 8))
+
+
+def q_canonicalize(sf_dir: str):
+    cdir = _corpus(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(cdir, "candidates.parquet"),
+                               columns=["source_url", "href"])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        clean = [canonicalize(s, h) for s, h in
+                 zip(batch["source_url"].to_pylist(), batch["href"].to_pylist())]
+        return batch.append_column("url_clean", pa.array(clean))
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def q_multimodal_features(sf_dir: str):
+    from ..stages.multimodal import binary_features
+    cdir = _corpus(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(cdir, "pages.parquet"),
+                               columns=["url", "html"])
+    return binary_features(ds)
+
+
+# --------------------------------------------- training-data operators ----
+def q_dedup_exact(sf_dir: str):
+    return textops.dedup_exact(_docs_ds(sf_dir))
+
+
+def q_minhash_near_dups(sf_dir: str):
+    return textops.minhash_near_dups(_docs_ds(sf_dir), threshold=0.7)
+
+
+def q_simhash_near_dups(sf_dir: str):
+    return textops.simhash_near_dups(_docs_ds(sf_dir), max_hamming=3)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    return textops.ngram_jaccard_pairs(_docs_ds(sf_dir), max_id=200, threshold=0.5)
+
+
+def q_ann_topk(sf_dir: str):
+    return embedops.ann_topk(_emb_ds(sf_dir), n_queries=8, k=10)
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    return embedops.embedding_dup_pairs(_emb_ds(sf_dir), max_id=500, tau=0.35)
+
+
+def q_langid(sf_dir: str):
+    return _docs_ds(sf_dir).map_batches(textops.langid_batch, batch_format="pyarrow")
+
+
+def q_quality_scores(sf_dir: str):
+    return _docs_ds(sf_dir).map_batches(textops.quality_batch, batch_format="pyarrow")
+
+
+def q_token_counts(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    toks = _docs_ds(sf_dir).map_batches(textops.token_count_batch,
+                                        batch_format="pyarrow")
+    out = toks.groupby("source").aggregate(
+        Sum("n_tokens", alias_name="total_tokens"), Count(alias_name="n_docs"))
+    return out
+
+
+def q_doc_fingerprints(sf_dir: str):
+    return _docs_ds(sf_dir).map_batches(textops.fingerprint_batch,
+                                        batch_format="pyarrow")
+
+
+def q_events_tumbling(sf_dir: str):
+    return events.tumbling_window(_events_ds(sf_dir))
+
+
+def q_sessionize(sf_dir: str):
+    return events.sessionize(_events_ds(sf_dir))
+
+
+def q_event_type_stats(sf_dir: str):
+    return events.event_type_stats(_events_ds(sf_dir))
+
+
+def q_top_customers(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pa.compute.round(pa.compute.multiply(b["o_totalprice"], 100))
+        col = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return b.append_column("cents", col.cast(pa.int64()))
+
+    agg = orders.map_batches(cents, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(
+            Sum("cents", alias_name="total_cents"),
+            Count(alias_name="order_cnt"))
+    pdf = agg.to_pandas()
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+    top = pdf.sort_values(["total_cents", "o_custkey"],
+                          ascending=[False, True]).head(10)
+    top = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    top["total_cents"] = top["total_cents"].astype("int64")
+    top["order_cnt"] = top["order_cnt"].astype("int64")
+    return top[["c_custkey", "c_name", "order_cnt", "total_cents"]] \
+        .sort_values("total_cents", ascending=False).reset_index(drop=True)
+
+
+# ------------------------------------------------------------ registry ----
+def queries() -> dict:
+    return {
+        # crawl engine (vs sequential oracle)
+        "crawl_pages": q_crawl_pages,
+        "crawl_order": q_crawl_order,
+        "url_seen": q_url_seen,
+        "extract_links": q_extract_links,
+        "link_target_status": q_link_target_status,
+        "linked_from": q_linked_from,
+        "issues": q_issues,
+        "issues_duplication": q_issues_duplication,
+        "status_counts": q_status_counts,
+        "crawl_stats": q_crawl_stats,
+        "eeat_scores": q_eeat_scores,
+        # pure extraction (vs generator truth)
+        "extract_pages": q_extract_pages,
+        "canonicalize": q_canonicalize,
+        "multimodal_features": q_multimodal_features,
+        # training-data operators (vs live SQL over the driver views)
+        "dedup_exact": q_dedup_exact,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_topk": q_ann_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "langid": q_langid,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "events_tumbling": q_events_tumbling,
+        "sessionize": q_sessionize,
+        "event_type_stats": q_event_type_stats,
+        "top_customers": q_top_customers,
+    }
+
+
+# ------------------------------------------------------------- oracles ----
+_ISSUE_RULES_SQL_TEMPLATE = """
+WITH p AS (SELECT * FROM read_parquet('{exp_pages}') WHERE NOT issue_excluded)
+SELECT url, 'error' AS type, 'SEO' AS category, 'Missing Title Tag' AS issue,
+       'Page has no title tag' AS details FROM p WHERE title = ''
+UNION ALL
+SELECT url, 'warning', 'SEO', 'Title Too Long',
+       'Title is ' || length(title) || ' characters (recommended: ≤60)'
+FROM p WHERE length(title) > 60
+UNION ALL
+SELECT url, 'warning', 'SEO', 'Title Too Short',
+       'Title is ' || length(title) || ' characters (recommended: 30-60)'
+FROM p WHERE title <> '' AND length(title) < 30
+UNION ALL
+SELECT url, 'error', 'SEO', 'Missing Meta Description',
+       'Page has no meta description' FROM p WHERE meta_description = ''
+UNION ALL
+SELECT url, 'warning', 'SEO', 'Meta Description Too Long',
+       'Description is ' || length(meta_description) || ' characters (recommended: ≤160)'
+FROM p WHERE length(meta_description) > 160
+UNION ALL
+SELECT url, 'warning', 'SEO', 'Meta Description Too Short',
+       'Description is ' || length(meta_description) || ' characters (recommended: 120-160)'
+FROM p WHERE meta_description <> '' AND length(meta_description) < 120
+UNION ALL
+SELECT url, 'error', 'SEO', 'Missing H1 Tag', 'Page has no H1 heading'
+FROM p WHERE h1 = ''
+UNION ALL
+SELECT url, 'warning', 'Content', 'Thin Content',
+       'Page has only ' || word_count || ' words (recommended: ≥300)'
+FROM p WHERE word_count < 300
+UNION ALL
+SELECT url, 'error', 'Technical', status_code || ' Client Error',
+       CASE status_code WHEN 400 THEN 'Bad Request' WHEN 401 THEN 'Unauthorized'
+            WHEN 403 THEN 'Forbidden' WHEN 404 THEN 'Not Found'
+            WHEN 405 THEN 'Method Not Allowed' WHEN 406 THEN 'Not Acceptable'
+            WHEN 408 THEN 'Request Timeout' WHEN 410 THEN 'Gone'
+            WHEN 429 THEN 'Too Many Requests'
+            ELSE 'HTTP ' || status_code || ' Error' END
+FROM p WHERE status_code >= 400 AND status_code < 500
+UNION ALL
+SELECT url, 'error', 'Technical', status_code || ' Server Error',
+       CASE status_code WHEN 500 THEN 'Internal Server Error'
+            WHEN 501 THEN 'Not Implemented' WHEN 502 THEN 'Bad Gateway'
+            WHEN 503 THEN 'Service Unavailable' WHEN 504 THEN 'Gateway Timeout'
+            WHEN 505 THEN 'HTTP Version Not Supported'
+            ELSE 'HTTP ' || status_code || ' Error' END
+FROM p WHERE status_code >= 500
+UNION ALL
+SELECT url, 'info', 'Technical', status_code || ' Redirect',
+       'URL redirects to another location'
+FROM p WHERE status_code >= 300 AND status_code < 400
+UNION ALL
+SELECT url, 'warning', 'Technical', 'Missing Canonical URL',
+       'Page has no canonical URL specified' FROM p WHERE canonical_url = ''
+UNION ALL
+SELECT url, 'warning', 'Technical', 'Canonical URL Different',
+       'Canonical points to: ' || canonical_url
+FROM p WHERE canonical_url <> '' AND canonical_url <> url
+UNION ALL
+SELECT url, 'error', 'Mobile', 'Missing Viewport Meta Tag',
+       'Page is not mobile-optimized' FROM p WHERE viewport = ''
+UNION ALL
+SELECT url, 'warning', 'Accessibility', 'Missing Language Attribute',
+       'HTML tag has no lang attribute' FROM p WHERE lang = ''
+UNION ALL
+SELECT url, 'warning', 'Accessibility', 'Images Without Alt Text',
+       images_without_alt || ' of ' || n_images || ' images lack alt text'
+FROM p WHERE images_without_alt > 0
+UNION ALL
+SELECT url, 'warning', 'Social', 'Missing OpenGraph Tags',
+       'Page has no OpenGraph tags for social sharing' FROM p WHERE NOT has_og
+UNION ALL
+SELECT url, 'warning', 'Social', 'Missing Twitter Card Tags',
+       'Page has no Twitter Card tags' FROM p WHERE NOT has_twitter
+UNION ALL
+SELECT url, 'info', 'Structured Data', 'No Structured Data',
+       'Page has no JSON-LD or Schema.org markup'
+FROM p WHERE json_ld_count = 0 AND schema_org_count = 0
+UNION ALL
+SELECT url, 'error', 'Performance', 'Large Page Size',
+       'Page size is ' || printf('%.1f', size / 1048576.0) || 'MB (recommended: <3MB)'
+FROM p WHERE size > 3145728
+UNION ALL
+SELECT url, 'warning', 'Performance', 'Moderate Page Size',
+       'Page size is ' || printf('%.1f', size / 1048576.0) || 'MB (recommended: <1MB)'
+FROM p WHERE size > 1048576 AND size <= 3145728
+UNION ALL
+SELECT url, 'error', 'Indexability', 'Noindex Tag Present',
+       'Page is BLOCKED from search engines - has noindex directive'
+FROM p WHERE contains(lower(robots), 'noindex')
+UNION ALL
+SELECT url, 'error', 'Indexability', 'Nofollow Tag Present',
+       'Links on this page are NOT followed by search engines - has nofollow directive'
+FROM p WHERE contains(lower(robots), 'nofollow')
+"""
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(textops.STOPWORDS)) + "]"
+
+
+def oracle_sql(sf_dir: str = SF01) -> dict:
+    # building the corpus ensures the sidecar files exist before DuckDB runs;
+    # it is pure Python (no Ray) and cached across calls
+    cdir = corpus_dir(sf_dir)
+
+    def _cp(name: str) -> str:
+        return os.path.join(cdir, name)
+
+    exp_pages = _cp("expected_pages.parquet")
+    exp_links = _cp("expected_links.parquet")
+
+    sql = {
+        "crawl_pages": f"""
+            SELECT url, seq, depth, status_code, content_type, size,
+                   is_internal, title, meta_description, h1, h2_joined,
+                   h3_joined, word_count, lang, charset, viewport, robots,
+                   author, keywords, generator, theme_color, canonical_url,
+                   og_title, og_author, twitter_card, json_ld_count,
+                   schema_org_count, n_images, images_without_alt,
+                   internal_links, external_links, ga4_id, gtm_id
+            FROM read_parquet('{exp_pages}')""",
+        "crawl_order": f"SELECT seq, url, depth FROM read_parquet('{_cp('expected_order.parquet')}')",
+        "url_seen": f"SELECT url FROM read_parquet('{_cp('expected_seen.parquet')}')",
+        "extract_links": f"""
+            SELECT source_url, target_url, anchor_text, is_internal,
+                   target_domain, placement, source_seq
+            FROM read_parquet('{exp_links}')""",
+        "link_target_status": f"""
+            SELECT source_url, target_url,
+                   CAST(COALESCE(target_status, -1) AS BIGINT) AS target_status
+            FROM read_parquet('{exp_links}')""",
+        "linked_from": f"""
+            SELECT target_url,
+                   string_agg(source_url, '|' ORDER BY source_seq) AS linked_from_joined
+            FROM read_parquet('{exp_links}') GROUP BY target_url""",
+        "issues": _ISSUE_RULES_SQL_TEMPLATE.format(exp_pages=exp_pages),
+        "issues_duplication": (
+            "SELECT url, type, category, issue, details FROM "
+            f"read_parquet('{_cp('expected_dup_issues.parquet')}')"),
+        "status_counts": f"""
+            SELECT status_code, count(*) AS n
+            FROM read_parquet('{exp_pages}') GROUP BY status_code""",
+        "crawl_stats": f"""
+            SELECT count(*) AS crawled, CAST(max(depth) AS BIGINT) AS max_depth
+            FROM read_parquet('{_cp('expected_order.parquet')}')""",
+        "eeat_scores": f"""
+            SELECT url, CAST(LEAST(100,
+                   (CASE WHEN url LIKE 'https://%' THEN 10 ELSE 0 END)
+                 + (CASE WHEN author <> '' OR og_author <> '' THEN 20 ELSE 0 END)
+                 + (CASE WHEN json_ld_count > 0 THEN 25 ELSE 0 END)
+                 + (CASE WHEN external_links > 0
+                         THEN LEAST(15, external_links * 3) ELSE 0 END)
+                 + (CASE WHEN og_title <> '' THEN 10 ELSE 0 END)
+                 + (CASE WHEN word_count >= 300 THEN 20
+                         WHEN word_count >= 150 THEN 10 ELSE 0 END)) AS BIGINT) AS score
+            FROM read_parquet('{exp_pages}')""",
+        "extract_pages": f"""
+            SELECT url, title, meta_description, h1,
+                   array_to_string(h2, ' | ') AS h2_joined,
+                   array_to_string(h3, ' | ') AS h3_joined,
+                   word_count, lang, charset, viewport, robots, author,
+                   keywords, generator, theme_color, canonical_url, og_title,
+                   og_author, twitter_card, json_ld_count, schema_org_count,
+                   n_images, images_without_alt, internal_links,
+                   external_links, ga4_id, gtm_id
+            FROM read_parquet('{_cp('gen_truth.parquet')}')""",
+        "canonicalize": (
+            "SELECT source_url, href, clean_url AS url_clean FROM "
+            f"read_parquet('{_cp('candidates.parquet')}')"),
+        "multimodal_features": (
+            "SELECT url, octet_length(html) AS n_bytes, "
+            "sha256(hex(html)) AS sha256_hex FROM "
+            f"read_parquet('{_cp('pages.parquet')}')"),
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)""",
+        "ngram_jaccard_pairs": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+              FROM documents WHERE doc_id < 200)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5""",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            sims AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qe, e.embedding), 6) AS sim
+              FROM q CROSS JOIN embeddings e)
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM sims
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) <= 10""",
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 500 AND b.vec_id < 500
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
+        "quality_scores": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\w+')) AS word_cnt,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS lw
+              FROM documents)
+            SELECT doc_id, CAST(word_cnt AS BIGINT) AS word_cnt,
+                   CAST(len(list_filter(lw, x -> list_contains({_STOPWORDS_SQL}, x))) AS BIGINT) AS stop_cnt,
+                   CAST(len(list_distinct(lw)) AS BIGINT) AS uniq_words,
+                   CAST(floor((0.4 * LEAST(1.0, word_cnt / 100.0)
+                       + 0.3 * (1.0 - CASE WHEN len(lw) > 0
+                             THEN CAST(len(list_filter(lw, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / len(lw)
+                             ELSE 0 END)
+                       + 0.3 * (CASE WHEN len(lw) > 0
+                             THEN CAST(len(list_distinct(lw)) AS DOUBLE) / len(lw)
+                             ELSE 0 END)) * 10000.0 + 0.5) AS BIGINT) AS quality_i
+            FROM t""",
+        "token_counts": r"""
+            SELECT source,
+                   CAST(sum(len(regexp_extract_all(text,
+                        '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source""",
+        "doc_fingerprints": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents""",
+        "events_tumbling": """
+            SELECT event_type,
+                   (epoch_us(ts) // 1000000) // 3600 AS window_id,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY event_type, (epoch_us(ts) // 1000000) // 3600""",
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts) > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events)
+            SELECT user_id, CAST(1 + sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id""",
+        "event_type_stats": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type""",
+        "top_customers": """
+            WITH agg AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                     count(*) AS order_cnt
+              FROM orders GROUP BY o_custkey)
+            SELECT c.c_custkey, c.c_name, a.order_cnt, a.total_cents
+            FROM agg a JOIN customer c ON a.o_custkey = c.c_custkey
+            ORDER BY a.total_cents DESC, a.o_custkey LIMIT 10""",
+    }
+    return sql

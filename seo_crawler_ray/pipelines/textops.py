@@ -1,0 +1,337 @@
+"""Text / dedup operators for large-scale training-data pipelines.
+
+These extend the crawl engine with the document-level operations a 100 TB
+text pipeline needs (the reference's only near-dup operator is the O(n^2)
+SequenceMatcher pass at issue_detector.py:315-431 — kept for parity in
+``pipelines.issues``; the operators here are the scale path):
+
+- exact dedup: content-hash -> groupby(hash).min(doc_id). One shuffle over
+  (hash, id) pairs only — never the text.
+- MinHash+LSH near-dup: per-batch shingling + 64 minhashes (vectorized
+  numpy) -> explode to (band, band_hash, doc_id) rows -> groupby bands ->
+  candidate pairs -> exact-Jaccard verification. At corpus scale the verify
+  step joins texts by hash-bucket; at test scale texts are broadcast.
+- SimHash near-dup: 64-bit weighted fingerprints, banded into 4x16-bit
+  chunks for candidate generation, Hamming-distance verification.
+- n-gram Jaccard pairs: exact pairwise verification operator.
+- language-ID: stopword/charclass heuristic (vectorized per batch).
+- quality scoring, token counting, fingerprinting: deterministic formulas
+  chosen to be expressible in ANSI SQL so DuckDB can act as the oracle.
+
+All batch fns are pure and stateless; heavy constants (stopword sets, hash
+coefficients) are module-level so actor pools and task workers share them.
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# -- tokenization (mirrored in the SQL oracles; ASCII corpus) -------------
+WORD_RE = re.compile(r"\w+")
+LOWER_WORD_RE = re.compile(r"[a-z0-9]+")
+TOKEN_RE = re.compile(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]")
+WS_RE = re.compile(r"\s+")
+
+STOPWORDS = {
+    "the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on",
+    "with", "as", "at", "by", "an", "be", "this", "are", "or", "from",
+}
+
+_STOP_LANGS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "it"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "un", "une", "dans", "pour"},
+    "es": {"el", "la", "los", "las", "es", "no", "un", "una", "en", "por"},
+}
+
+
+# ---------------------------------------------------------------- exact --
+def md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
+    hashes = pa.array([md5_hex(t) for t in batch[col].to_pylist()])
+    return batch.append_column("text_hash", hashes)
+
+
+def dedup_exact(docs_ds, id_col: str = "doc_id"):
+    """Keep the lowest id per exact text hash. SQL-equivalent:
+    ``QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)=1``."""
+    from ray.data.aggregate import Min
+    hashed = docs_ds.map_batches(add_text_hash, batch_format="pyarrow")
+    kept = hashed.select_columns(["text_hash", id_col]) \
+        .groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
+    return kept
+
+
+# -------------------------------------------------------------- minhash --
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(4242)
+_PERM_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+_PERM_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-shingles -> 32-bit crc hashes (rolling window)."""
+    words = LOWER_WORD_RE.findall(text.lower())
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else []
+    else:
+        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    return np.unique(np.fromiter(
+        (zlib.crc32(s.encode()) for s in shingles), dtype=np.uint64,
+        count=len(shingles)))
+
+
+def minhash_signature(sh: np.ndarray) -> np.ndarray:
+    if len(sh) == 0:
+        return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+    v = (_PERM_A[None, :] * sh[:, None] + _PERM_B[None, :]) % np.uint64(_MERSENNE)
+    return v.min(axis=0)
+
+
+def minhash_bands_batch(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    ids, bands, bhashes = [], [], []
+    for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        sig = minhash_signature(shingle_hashes(text))
+        for b in range(N_BANDS):
+            chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+            ids.append(doc_id)
+            bands.append(b)
+            bhashes.append(int.from_bytes(
+                hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big")
+                >> 1)  # keep int64-positive
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "band": pa.array(bands, pa.int32()),
+                     "band_hash": pa.array(bhashes, pa.int64())})
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def minhash_near_dups(docs_ds, threshold: float = 0.7,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """MinHash+LSH candidate generation + exact word-shingle Jaccard verify.
+
+    The band groupby is the only all-to-all exchange and moves (band,
+    band_hash, doc_id) triples — 24 bytes/doc/band — never text. Verification
+    broadcasts the text column (test scale); the 100 TB path re-joins texts
+    by doc-id hash bucket instead (documented trade-off).
+    Returns pairs (a, b, jaccard) with a < b and jaccard >= threshold.
+    """
+    import ray
+
+    bands = docs_ds.map_batches(minhash_bands_batch, batch_format="pyarrow",
+                                fn_kwargs={"text_col": text_col, "id_col": id_col})
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"].tolist()))
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    cand_pdf = cand.to_pandas().drop_duplicates()  # candidate set: tiny vs corpus
+    if cand_pdf.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+
+    tdf = docs_ds.select_columns([id_col, text_col]).to_pandas()
+    texts_ref = ray.put(dict(zip(tdf[id_col], tdf[text_col])))
+
+    @ray.remote
+    def verify(pairs: pd.DataFrame, texts):
+        # Ray resolves the ObjectRef argument to the dict before the call
+        rows = []
+        cache: dict[int, set] = {}
+
+        def sh(i):
+            if i not in cache:
+                cache[i] = set(shingle_hashes(texts[i]).tolist())
+            return cache[i]
+
+        for a, b in zip(pairs["a"], pairs["b"]):
+            j = jaccard(sh(int(a)), sh(int(b)))
+            if j >= threshold:
+                rows.append((int(a), int(b), round(j, 6)))
+        return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+    chunks = np.array_split(cand_pdf, max(1, len(cand_pdf) // 2000))
+    parts = ray.get([verify.remote(c, texts_ref) for c in chunks if len(c)])
+    out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        columns=["a", "b", "jaccard"])
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# -------------------------------------------------------------- simhash --
+def simhash64(text: str) -> int:
+    words = LOWER_WORD_RE.findall(text.lower())
+    if not words:
+        return 0
+    uniq, counts = np.unique(np.array(words), return_counts=True)
+    hashes = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+         for w in uniq), dtype=np.uint64, count=len(uniq))
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    sigs = [simhash64(t) for t in batch[text_col].to_pylist()]
+    out = {id_col: batch[id_col],
+           "simhash": pa.array(np.array(sigs, dtype=np.uint64).view(np.int64))}
+    return pa.table(out)
+
+
+def simhash_near_dups(docs_ds, max_hamming: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Band the 64-bit simhash into 4x16-bit chunks (any pair within
+    Hamming<=3 must share a chunk), groupby chunk, verify Hamming."""
+    sigs = docs_ds.map_batches(simhash_batch, batch_format="pyarrow",
+                               fn_kwargs={"text_col": text_col, "id_col": id_col})
+
+    def explode_chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        sh = np.asarray(batch["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+        out_id, out_band, out_chunk, out_sig = [], [], [], []
+        for i, s in zip(ids, sh):
+            for b in range(4):
+                out_id.append(i)
+                out_band.append(b)
+                out_chunk.append(int((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
+                out_sig.append(int(s.view(np.int64) if hasattr(s, "view") else s))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "band": pa.array(out_band, pa.int32()),
+                         "chunk": pa.array(out_chunk, pa.int64()),
+                         "simhash": pa.array(np.array(out_sig, dtype=np.int64))})
+
+    exploded = sigs.map_batches(explode_chunks, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        recs = sorted(set(zip(group["doc_id"].tolist(), group["simhash"].tolist())))
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                (a, sa), (b, sb) = recs[i], recs[j]
+                d = bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= max_hamming and a != b:
+                    rows.append((min(a, b), max(a, b), d))
+        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+
+    pairs = exploded.groupby(["band", "chunk"]).map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return (pairs.drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+# ------------------------------------------------- exact jaccard (pairs) --
+def ngram_jaccard_pairs(docs_ds, max_id: int, threshold: float,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Exact unigram-set Jaccard over all pairs with id < max_id.
+    SQL-mirrorable: word sets via regexp_extract_all + list_distinct."""
+    import ray
+    sub = docs_ds.filter(expr=f"{id_col} < {max_id}") \
+        .select_columns([id_col, text_col]).to_pandas()
+    ids = sub[id_col].tolist()
+    sets = [frozenset(LOWER_WORD_RE.findall(t.lower())) for t in sub[text_col]]
+    order = np.argsort(ids)
+    rows = []
+    for ii in range(len(order)):
+        for jj in range(ii + 1, len(order)):
+            i, j = order[ii], order[jj]
+            jac = jaccard(set(sets[i]), set(sets[j]))
+            if jac >= threshold:
+                rows.append((ids[i], ids[j], round(jac, 6)))
+    return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+
+# -------------------------------------------------------------- lang id --
+def langid_batch(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    preds = []
+    for text in batch[text_col].to_pylist():
+        lower = text.lower()
+        n_cjk = sum(1 for ch in lower[:400] if "一" <= ch <= "鿿")
+        if n_cjk >= 3:
+            preds.append("zh")
+            continue
+        words = set(LOWER_WORD_RE.findall(lower))
+        best, best_score = "en", -1
+        for lang, stops in _STOP_LANGS.items():
+            score = len(words & stops)
+            if score > best_score:
+                best, best_score = lang, score
+        preds.append(best)
+    return pa.table({id_col: batch[id_col], "pred_lang": pa.array(preds)})
+
+
+# -------------------------------------------------- quality / tokens -----
+def quality_batch(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Mirrored exactly by SQL in oracle_sql(): keep formulas in sync."""
+    wc, sc, uq = [], [], []
+    for text in batch[text_col].to_pylist():
+        words = WORD_RE.findall(text)
+        lwords = LOWER_WORD_RE.findall(text.lower())
+        wc.append(len(words))
+        sc.append(sum(1 for w in lwords if w in STOPWORDS))
+        uq.append(len(set(lwords)))
+    wc_a = np.array(wc, dtype=np.float64)
+    sc_a = np.array(sc, dtype=np.float64)
+    uq_a = np.array(uq, dtype=np.float64)
+    lw = np.array([len(LOWER_WORD_RE.findall(t.lower()))
+                   for t in batch[text_col].to_pylist()], dtype=np.float64)
+    stop_ratio = np.divide(sc_a, lw, out=np.zeros_like(sc_a), where=lw > 0)
+    uniq_ratio = np.divide(uq_a, lw, out=np.zeros_like(uq_a), where=lw > 0)
+    quality = (0.4 * np.minimum(1.0, wc_a / 100.0)
+               + 0.3 * (1.0 - stop_ratio) + 0.3 * uniq_ratio)
+    # integerized half-up (floor(x*1e4+0.5)) — identical double ops on the
+    # SQL side, so no banker's-vs-half-up rounding divergence
+    quality_i = np.floor(quality * 10000.0 + 0.5).astype(np.int64)
+    return pa.table({
+        id_col: batch[id_col],
+        "word_cnt": pa.array(wc, pa.int64()),
+        "stop_cnt": pa.array(sc, pa.int64()),
+        "uniq_words": pa.array(uq, pa.int64()),
+        "quality_i": pa.array(quality_i),
+    })
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    n = [len(TOKEN_RE.findall(t)) for t in batch[text_col].to_pylist()]
+    return batch.append_column("n_tokens", pa.array(n, pa.int64()))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    # mirror of SQL md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')):
+    # trim strips spaces only, so strip(' ') here, not strip()
+    fps = [md5_hex(WS_RE.sub(" ", t.lower().strip(" ")))
+           for t in batch[text_col].to_pylist()]
+    return pa.table({id_col: batch[id_col], "fingerprint": pa.array(fps)})

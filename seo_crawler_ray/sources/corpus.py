@@ -655,7 +655,8 @@ def _sitemap_rows(ir: dict) -> list[dict]:
     b_urls = [p["url"] for p in hot_pages[50:60]]
 
     def urlset(urls):
-        items = "\n".join(f"  <url><loc>{u}</loc></url>" for u in urls)
+        from xml.sax.saxutils import escape
+        items = "\n".join(f"  <url><loc>{escape(u)}</loc></url>" for u in urls)
         return (b'<?xml version="1.0" encoding="UTF-8"?>\n'
                 b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
                 + items.encode() + b"\n</urlset>\n")

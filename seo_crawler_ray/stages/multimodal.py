@@ -1,0 +1,83 @@
+"""Multimodal (binary-column) stages: decode / feature-extract plumbing.
+
+Images, audio and video travel as opaque ``binary`` columns with typed
+metadata — here the corpus ``html`` binary column stands in for the payload.
+The decode libraries (PIL/av/etc.) are NOT in this container, so the actual
+decode is stubbed: ``DecodeStub`` raises ``NotImplementedError`` unless the
+library import succeeds, and ``BinaryFeatures`` computes deterministic real
+features (byte length, sha256) so the Ray-side plumbing — actor-pool
+signature, small batch sizes for wide rows, schema, output layout — is real
+and tested end-to-end.
+
+Batch-size guidance: with multi-MB payloads, ``batch_size`` must be small
+(32-128) so batch x concurrency fits worker heaps; blocks of wide binary
+rows should keep ``target_max_block_size`` at default or larger so Ray
+doesn't split them absurdly small (Ray guide, pitfalls).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+class BinaryFeatures:
+    """Actor-pool stage: binary payload -> (n_bytes, sha256, head bytes)."""
+
+    def __init__(self, payload_col: str = "html", key_col: str = "url"):
+        self.payload_col = payload_col
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        # digest over the UPPERCASE hex encoding: DuckDB has no blob digest,
+        # so the SQL oracle computes sha256(hex(blob)) — mirror that exactly
+        return pa.table({
+            self.key_col: batch[self.key_col],
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            "sha256_hex": pa.array(
+                [hashlib.sha256(p.hex().upper().encode()).hexdigest()
+                 for p in payloads]),
+        })
+
+
+class DecodeStub:
+    """Image/audio decode stage. Real decode requires PIL (absent here);
+    ``fake=True`` produces a deterministic pseudo-decode so downstream
+    stages (resize, embed, frame-sample) can be exercised."""
+
+    def __init__(self, payload_col: str = "html", key_col: str = "url",
+                 fake: bool = True, feature_dim: int = 16):
+        self.payload_col = payload_col
+        self.key_col = key_col
+        self.fake = fake
+        self.feature_dim = feature_dim
+        self._pil = None
+        if not fake:
+            try:
+                import PIL.Image  # noqa: F401
+                self._pil = PIL.Image
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real image decode needs PIL, which is not available in "
+                    "this environment; use fake=True") from e
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        feats = []
+        for p in payloads:
+            # deterministic fake "embedding": sha256 bytes -> float32 vector
+            digest = hashlib.sha256(p).digest()
+            arr = np.frombuffer(digest[: self.feature_dim * 2], dtype=np.uint16)
+            feats.append((arr.astype(np.float32) / 65535.0).tolist())
+        return pa.table({
+            self.key_col: batch[self.key_col],
+            "feature": pa.array(feats, pa.list_(pa.float32())),
+        })
+
+
+def binary_features(pages_ds, concurrency=(1, 4), batch_size: int = 64):
+    return pages_ds.map_batches(
+        BinaryFeatures, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)

@@ -1,0 +1,166 @@
+"""Unit tests for the stdlib DOM and the reference-parity extractors over
+handcrafted HTML (the cases SURVEY.md §5/§7.4 calls out: entity decoding,
+first-N caps, attr quirks, placement walk, canonicalization quirks)."""
+import re
+
+from seo_crawler_ray.functions.extract import (
+    collect_link_records, detect_link_placement, extract_outlinks, extract_page)
+from seo_crawler_ray.htmlparse.dom import parse_html
+
+
+def _page(html: str, url="https://ex.com/a.html", base="ex.com"):
+    return extract_page(html.encode(), url, 0, base, 200,
+                        "text/html; charset=utf-8", True)
+
+
+def test_get_text_entities_and_whitespace():
+    soup = parse_html(b"<p>A &amp; B</p>\n<div>C<span>D</span></div>")
+    assert soup.get_text() == "A & B\nCD"
+
+
+def test_script_text_included_comments_excluded():
+    soup = parse_html(b"<script>var x=1;</script><!-- nope --><p>hi</p>")
+    assert soup.get_text() == "var x=1;hi"
+
+
+def test_title_first_and_stripped():
+    res, _, _ = _page("<title>  One  </title><title>Two</title>")
+    assert res["title"] == "One"
+
+
+def test_heading_caps_first_10():
+    html = "".join(f"<h2>H{i}</h2>" for i in range(12))
+    res, _, _ = _page(html)
+    assert res["h2"] == [f"H{i}" for i in range(10)]
+
+
+def test_word_count_matches_reference_regex():
+    res, _, _ = _page("<p>one two-three four's</p>")
+    # \b\w+\b: one, two, three, four, s
+    assert res["word_count"] == len(re.findall(r"\b\w+\b", "one two-three four's"))
+
+
+def test_charset_meta_and_http_equiv():
+    res, _, _ = _page('<meta charset="utf-8">')
+    assert res["charset"] == "utf-8"
+    res, _, _ = _page('<meta http-equiv="Content-Type" content="text/html; charset=latin-1">')
+    assert res["charset"] == "latin-1"
+
+
+def test_meta_name_lowercased_and_named_fields():
+    res, _, _ = _page('<meta name="Robots" content="noindex">'
+                      '<meta name="theme-color" content="#fff">')
+    assert res["meta_tags"]["robots"] == "noindex"
+    # named-field side-population keys off the lowercased name
+    assert res["robots"] == "noindex"
+    assert res["theme_color"] == "#fff"
+
+
+def test_og_prefix_strip_uses_replace_all():
+    res, _, _ = _page('<meta property="og:og:title" content="x">')
+    # str.replace removes EVERY 'og:' occurrence (reference quirk)
+    assert "title" in res["og_tags"]
+
+
+def test_images_cap_and_absolutization():
+    html = ('<img src="//cdn.x/a.png"><img src="/b.png"><img src="c.png">'
+            '<img src="https://cdn.x/d.png"><img alt="noscr">')
+    res, _, _ = _page(html, url="https://ex.com/dir/page.html")
+    srcs = [i["src"] for i in res["images"]]
+    assert srcs == ["https://cdn.x/a.png", "https://ex.com/b.png",
+                    "https://ex.com/dir/c.png", "https://cdn.x/d.png"]
+
+
+def test_link_counts_skip_schemes_and_www_strip():
+    html = ('<a href="#f">a</a><a href="mailto:x@y">b</a><a href="tel:1">c</a>'
+            '<a href="javascript:void(0)">d</a><a href="/in.html">e</a>'
+            '<a href="https://www.ex.com/in2.html">f</a>'
+            '<a href="https://other.com/x">g</a>')
+    res, _, _ = _page(html)
+    assert res["internal_links"] == 2 and res["external_links"] == 1
+
+
+def test_outlinks_keep_javascript_skip_mailto_tel_frag_self():
+    html = ('<a href="#f">a</a><a href="mailto:x@y">b</a><a href="tel:1">c</a>'
+            '<a href="javascript:void(0)">d</a><a href="/n.html">e</a>'
+            '<a href="https://ex.com/a.html">self</a>')
+    _, _, outs = _page(html)
+    urls = [u for u, _ in outs]
+    assert "javascript://void(0)" in urls
+    assert "https://ex.com/n.html" in urls
+    assert "https://ex.com/a.html" not in urls  # self excluded
+    assert len(urls) == 2
+
+
+def test_canonicalize_drops_fragment_keeps_query():
+    _, _, outs = _page('<a href="/x.html?a=1&b=2#sec">q</a>')
+    assert outs[0][0] == "https://ex.com/x.html?a=1&b=2"
+
+
+def test_link_records_anchor_truncation_and_no_text():
+    long = "z" * 150
+    html = f'<a href="/x.html">{long}</a><a href="/y.html"><img src="i.png"></a>'
+    _, links, _ = _page(html)
+    assert links[0]["anchor_text"] == "z" * 100
+    assert links[1]["anchor_text"] == "(no text)"
+
+
+def test_placement_walk():
+    soup = parse_html(
+        b'<nav><a href="/a">n</a></nav>'
+        b'<div class="SiteFooter"><a href="/b">f</a></div>'
+        b'<div id="mega-menu-x"><a href="/c">m</a></div>'
+        b'<p><a href="/d">b</a></p>'
+        b'<footer><div><a href="/e">f2</a></div></footer>')
+    anchors = soup.find_all("a")
+    assert [detect_link_placement(a) for a in anchors] == \
+        ["navigation", "footer", "navigation", "body", "footer"]
+
+
+def test_link_record_dedup_within_page():
+    html = '<a href="/x.html">one</a><a href="/x.html">two</a>'
+    soup = parse_html(html.encode())
+    recs = collect_link_records(soup, "https://ex.com/", "ex.com")
+    assert len(recs) == 1 and recs[0]["anchor_text"] == "one"
+
+
+def test_json_ld_invalid_skipped():
+    html = ('<script type="application/ld+json">{"a": 1}</script>'
+            '<script type="application/ld+json">{bad,}</script>')
+    res, _, _ = _page(html)
+    assert res["json_ld"] == [{"a": 1}]
+
+
+def test_analytics_ids():
+    res, _, _ = _page("<script>gtag('config', 'G-ABC123XY99');"
+                      "/* GTM-X99A googletagmanager.com */</script>")
+    a = res["analytics"]
+    assert a["ga4_id"] == "G-ABC123XY99" and a["gtag"]
+    assert a["gtm_id"] == "GTM-X99A" and a["google_analytics"]
+
+
+def test_non_html_not_parsed():
+    res, links, outs = extract_page(b"<p>x</p>", "https://ex.com/f.txt", 0,
+                                    "ex.com", 200, "text/plain", True)
+    assert res["word_count"] == 0 and not links and not outs
+    assert res["size"] == 8
+
+
+def test_microdata_properties():
+    html = ('<div itemtype="https://schema.org/Product">'
+            '<span itemprop="name">N</span>'
+            '<meta itemprop="sku" content="S">'
+            '<img itemprop="image" src="/i.png">'
+            '<a itemprop="url" href="/u.html">t</a>'
+            '<span itemprop="empty"></span></div>')
+    res, _, _ = _page(html)
+    assert res["schema_org"] == [{"type": "https://schema.org/Product",
+                                  "properties": {"name": "N", "sku": "S",
+                                                 "image": "/i.png", "url": "/u.html"}}]
+
+
+def test_hreflang():
+    html = ('<link rel="alternate" hreflang="de" href="https://de.ex.com/">'
+            '<link rel="alternate" href="https://x.ex.com/">')
+    res, _, _ = _page(html)
+    assert res["hreflang"] == [{"lang": "de", "url": "https://de.ex.com/"}]
