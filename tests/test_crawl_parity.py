@@ -1,0 +1,103 @@
+"""Distributed engine vs sequential reference-replay oracle: dequeue order,
+URL-seen set, link records, page fields, linked_from, issues — the parity
+contract of BASELINE.json's north rule ("matching the reference's crawl
+ordering and URL-seen set under the same seed list + politeness budget")."""
+import pyarrow.dataset as pads
+import pytest
+
+
+@pytest.fixture(scope="module")
+def engine(crawl_output):
+    pages = pads.dataset(f"{crawl_output}/pages").to_table().sort_by("rank")
+    links = pads.dataset(f"{crawl_output}/links").to_table()
+    return pages, links
+
+
+def test_crawl_order_parity(engine, sim_result):
+    pages, _ = engine
+    eng = list(zip(pages["rank"].to_pylist(), pages["url"].to_pylist(),
+                   pages["depth"].to_pylist()))
+    sim = [(s - 1, u, d) for s, u, d in sim_result.order]
+    assert eng == sim
+
+
+def test_seen_set_parity(engine, sim_result):
+    pages, _ = engine
+    assert set(pages["url"].to_pylist()) == sim_result.seen
+
+
+def test_depth_monotone_and_no_repeats(engine):
+    pages, _ = engine
+    depths = pages["depth"].to_pylist()
+    assert depths == sorted(depths)      # BFS waves -> nondecreasing depth
+    urls = pages["url"].to_pylist()
+    assert len(urls) == len(set(urls))   # no URL crawled twice
+
+
+def test_link_records_parity(engine, sim_result):
+    _, links = engine
+    eng = set(zip(links["source_url"].to_pylist(), links["target_url"].to_pylist(),
+                  links["anchor_text"].to_pylist(), links["is_internal"].to_pylist(),
+                  links["target_domain"].to_pylist(), links["placement"].to_pylist()))
+    sim = set((x["source_url"], x["target_url"], x["anchor_text"],
+               x["is_internal"], x["target_domain"], x["placement"])
+              for x in sim_result.links)
+    assert eng == sim
+
+
+def test_page_fields_parity(engine, sim_result):
+    pages, _ = engine
+    sim_by_url = {r["url"]: r for r in sim_result.results}
+    for r in pages.to_pylist():
+        s = sim_by_url[r["url"]]
+        for k in ("status_code", "content_type", "size", "is_internal", "depth",
+                  "title", "meta_description", "h1", "h2", "h3", "word_count",
+                  "lang", "charset", "viewport", "robots", "author", "keywords",
+                  "generator", "theme_color", "canonical_url",
+                  "internal_links", "external_links"):
+            assert r[k] == s[k], (r["url"], k, r[k], s[k])
+        assert dict(r["meta_tags"]) == s["meta_tags"]
+        assert dict(r["og_tags"]) == s["og_tags"]
+        assert dict(r["twitter_tags"]) == s["twitter_tags"]
+        assert [dict(i) for i in r["images"]] == s["images"]
+        assert [dict(h) for h in r["hreflang"]] == s["hreflang"]
+
+
+def test_linked_from_parity(crawl_output, sim_result, ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.analysis import linked_from
+    links_ds = ray.data.read_parquet(f"{crawl_output}/links")
+    got = dict(zip(*[linked_from(links_ds)[c] for c in
+                     ("target_url", "linked_from_joined")]))
+    for r in sim_result.results:
+        if r["linked_from"]:
+            assert got.get(r["url"]) == "|".join(r["linked_from"]), r["url"]
+
+
+def test_issue_parity(crawl_output, sim_result, ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.analysis import crawl_issues
+    from seo_crawler_ray.sources.cache import flagship_config
+    cfg = flagship_config()
+    pages_ds = ray.data.read_parquet(f"{crawl_output}/pages")
+    got = crawl_issues(pages_ds, cfg.issue_exclusion_patterns)
+    eng = set(map(tuple, got[["url", "type", "category", "issue", "details"]]
+                  .itertuples(index=False)))
+    sim = set((x["url"], x["type"], x["category"], x["issue"], x["details"])
+              for x in sim_result.issues)
+    assert eng == sim
+
+
+def test_duplication_parity(crawl_output, sim_result, ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.analysis import duplication_issues_distributed
+    from seo_crawler_ray.sources.cache import flagship_config
+    cfg = flagship_config()
+    sim_result.detect_duplication(subset_n=100)
+    pages_ds = ray.data.read_parquet(f"{crawl_output}/pages")
+    got = duplication_issues_distributed(
+        pages_ds, cfg.duplication_threshold, cfg.issue_exclusion_patterns, 100)
+    eng = set(map(tuple, got.itertuples(index=False))) if len(got) else set()
+    sim = set((x["url"], x["type"], x["category"], x["issue"], x["details"])
+              for x in sim_result.dup_issues)
+    assert eng == sim

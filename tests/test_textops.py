@@ -1,0 +1,144 @@
+"""Training-data operators on planted fixtures: near-dup detectors must find
+planted duplicates and reject unrelated docs; ANN must match brute force."""
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_docs(ray_session):
+    import ray.data
+    rng = np.random.RandomState(7)
+    words = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(60):
+        docs.append(" ".join(rng.choice(words, 80)))
+    # planted near-dups: 60/61 differ by one word; 62/63 differ by two
+    base = " ".join(rng.choice(words, 80).tolist())
+    toks = base.split()
+    docs.append(base)                                   # 60
+    docs.append(" ".join(toks[:-1] + ["zzz"]))          # 61
+    base2 = " ".join(rng.choice(words, 80).tolist())
+    t2 = base2.split()
+    docs.append(base2)                                  # 62
+    docs.append(" ".join(["aaa"] + t2[1:-1] + ["bbb"]))  # 63
+    # exact duplicate pair: 64/65
+    docs.append(docs[0])                                # 64 == 0
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs,
+                       "source": ["s"] * len(docs)})
+    return ray.data.from_pandas(df)
+
+
+def test_dedup_exact_planted(planted_docs):
+    from seo_crawler_ray.pipelines.textops import dedup_exact
+    kept = dedup_exact(planted_docs).to_pandas()
+    assert len(kept) == 64          # 65 docs, one exact dup collapsed
+    assert 64 not in set(kept["doc_id"])  # the later copy loses
+
+
+def test_minhash_finds_planted_near_dups(planted_docs):
+    from seo_crawler_ray.pipelines.textops import minhash_near_dups
+    pairs = minhash_near_dups(planted_docs, threshold=0.6)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (60, 61) in got
+    assert (62, 63) in got
+    assert (0, 64) in got           # exact dup: jaccard 1.0
+    # unrelated random docs should not pair at 0.6
+    low_ids = {p for p in got if p[0] < 60 and p[1] < 60}
+    assert not low_ids
+
+
+def test_minhash_estimates_close_to_exact(planted_docs):
+    from seo_crawler_ray.pipelines.textops import (
+        jaccard, minhash_signature, shingle_hashes)
+    tdf = planted_docs.to_pandas()
+    t60, t61 = tdf["text"].iloc[60], tdf["text"].iloc[61]
+    s60, s61 = (set(shingle_hashes(t).tolist()) for t in (t60, t61))
+    exact = jaccard(s60, s61)
+    m60, m61 = minhash_signature(shingle_hashes(t60)), minhash_signature(shingle_hashes(t61))
+    est = (m60 == m61).mean()
+    assert abs(est - exact) < 0.2
+
+
+def test_simhash_finds_planted(planted_docs):
+    from seo_crawler_ray.pipelines.textops import simhash_near_dups
+    pairs = simhash_near_dups(planted_docs, max_hamming=6)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 64) in got           # identical text -> hamming 0
+    assert (60, 61) in got          # one word changed -> few bits
+
+
+def test_ngram_jaccard_pairs(planted_docs):
+    from seo_crawler_ray.pipelines.textops import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(planted_docs, max_id=66, threshold=0.9)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 64) in got
+    assert (60, 61) in got          # unigram jaccard ~ 78/82 > 0.9
+
+
+def test_langid_heuristic(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import langid_batch
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the cat is in the house and it is warm for now",
+                 "der hund ist nicht in das haus und die katze",
+                 "le chat est dans la maison et il est pour",
+                 "这是 一个 中文 文档 测试 示例 句子"],
+    })
+    out = ray.data.from_pandas(df).map_batches(
+        langid_batch, batch_format="pyarrow").to_pandas()
+    assert out["pred_lang"].tolist() == ["en", "de", "fr", "zh"]
+
+
+def test_ann_topk_matches_bruteforce(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.embedops import ann_topk
+    rng = np.random.RandomState(3)
+    E = rng.normal(size=(300, 64)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(300), "embedding": list(E),
+                       "label": [0] * 300})
+    df["embedding"] = df["embedding"].map(list)
+    ds = ray.data.from_pandas(df)
+    got = ann_topk(ds, n_queries=3, k=5)
+    # brute force in float64
+    M = E.astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for q in range(3):
+        sims = M @ M[q]
+        order = np.lexsort((np.arange(300), -np.round(sims, 6)))[:5]
+        expect = order.tolist()
+        mine = got[got["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert mine == expect
+
+
+def test_lsh_bucketed_recall(ray_session):
+    # clustered embeddings: LSH buckets align with clusters, so probing a
+    # fraction of buckets retrieves most true neighbors (on unstructured
+    # noise LSH recall is poor by nature — that's the documented trade-off)
+    import ray.data
+    from seo_crawler_ray.pipelines.embedops import ann_topk, lsh_bucketed_topk
+    rng = np.random.RandomState(5)
+    centers = rng.normal(size=(8, 64)) * 4
+    E = np.vstack([centers[i % 8] + rng.normal(size=64) * 0.3
+                   for i in range(400)]).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(400), "embedding": [list(e) for e in E],
+                       "label": [0] * 400})
+    ds = ray.data.from_pandas(df)
+    exact = ann_topk(ds, n_queries=2, k=10)
+    approx = lsh_bucketed_topk(ds, n_queries=2, k=10, n_planes=6,
+                               n_probe_buckets=8)
+    for q in range(2):
+        a = set(exact[exact["query_id"] == q]["neighbor_id"])
+        b = set(approx[approx["query_id"] == q]["neighbor_id"])
+        assert len(a & b) / len(a) >= 0.7
+
+
+def test_multimodal_stub_gating(ray_session):
+    from seo_crawler_ray.stages.multimodal import DecodeStub
+    import pyarrow as pa
+    with pytest.raises(NotImplementedError):
+        DecodeStub(fake=False)
+    stub = DecodeStub(fake=True, feature_dim=8)
+    out = stub(pa.table({"url": ["u1"], "html": [b"payload"]}))
+    assert len(out["feature"][0].as_py()) == 8

@@ -30,8 +30,9 @@ def test_normalize_seed():
 def test_is_internal_www_strip_once():
     assert is_internal("https://www.ex.com/a", "ex.com")
     assert is_internal("https://ex.com/a", "www.ex.com")
-    # replace('www.','',1) strips only the first occurrence
-    assert is_internal("https://www.www.ex.com/a", "www.ex.com")
+    # replace('www.','',1) strips only ONE leading www. on each side:
+    # www.www.ex.com -> www.ex.com vs www.ex.com -> ex.com => external
+    assert not is_internal("https://www.www.ex.com/a", "www.ex.com")
 
 
 def test_url_extension():
