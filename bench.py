@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract).
+
+Default mode: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and print ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "crawl_urls_per_sec": ...}
+
+The headline metric is the flagship frontier-expansion crawl (BASELINE.json:
+URLs dequeued+extracted/sec). Corpus generation is excluded from timings
+(done untimed up front, which also warms the page cache).
+
+--scaling: run the same job in two fresh processes at 8 and 32 CPUs (N and
+4N) on the same input and report throughput at both plus scaling
+efficiency = (t_lo / t_hi) / (cpus_hi / cpus_lo). Results are recorded in
+BASELINE.md.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench() -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from seo_crawler_ray.pipelines import embedops, events, queries, textops
+    from seo_crawler_ray.pipelines.crawl import CrawlJob
+    from seo_crawler_ray.sources.cache import corpus_dir, flagship_config
+
+    cdir = corpus_dir(SF_DIR)   # untimed: generation is cached + warms cache
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: flagship frontier-expansion crawl (fresh output dir)
+    out_dir = f"/tmp/seo_ray_bench/crawl_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = flagship_config(seen_shards=max(4, NUM_CPUS // 4),
+                          politeness_shards=4)
+    job = CrawlJob(cdir, out_dir, cfg)
+    summary = timed("crawl", lambda: job.run())
+    crawled = summary["crawled_total"]
+
+    # extraction-only throughput over the whole corpus
+    timed("extract_all", lambda: queries.q_extract_pages(SF_DIR).count())
+
+    # training-data operators at bench scale
+    docs = queries._docs_ds(SF_DIR)
+    timed("dedup_exact", lambda: textops.dedup_exact(docs).count())
+    timed("minhash_near_dups", lambda: len(textops.minhash_near_dups(docs)))
+    timed("quality_scores",
+          lambda: docs.map_batches(textops.quality_batch,
+                                   batch_format="pyarrow").count())
+    emb = queries._emb_ds(SF_DIR)
+    timed("ann_topk", lambda: len(embedops.ann_topk(emb)))
+    ev = queries._events_ds(SF_DIR)
+    timed("events_tumbling", lambda: len(events.tumbling_window(ev)))
+    timed("sessionize", lambda: len(events.sessionize(ev)))
+
+    value = timings["crawl"]
+    return {
+        "metric": "frontier-expansion crawl wall time (flagship pipeline, "
+                  "synthetic web corpus; URLs dequeued+extracted/sec in "
+                  "crawl_urls_per_sec)",
+        "value": value,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "crawl_urls_per_sec": round(crawled / value, 2) if value else 0.0,
+        "crawled_urls": crawled,
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo) if t_hi else 0.0
+    return {
+        "metric": "scaling efficiency (same crawl, fresh ray.init at "
+                  f"{lo} vs {hi} CPUs)",
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "cpus_lo": lo, "cpus_hi": hi,
+        "urls_per_sec_lo": r_lo["crawl_urls_per_sec"],
+        "urls_per_sec_hi": r_hi["crawl_urls_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        print(json.dumps(result))
+        import ray
+        ray.shutdown()

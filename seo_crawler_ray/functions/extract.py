@@ -127,7 +127,8 @@ def extract_page(
     if "text/html" not in content_type_header:
         return result, link_records, outlinks
 
-    soup = parse_html(html)
+    from ..htmlparse.dom import IndexedDoc
+    soup = IndexedDoc(parse_html(html))
     html_text = html.decode("utf-8", errors="replace")
 
     _basic_seo(soup, result)
@@ -136,14 +137,79 @@ def extract_page(
     _json_ld(soup, result)
     _analytics(html_text, result)
     _images(soup, url, result)
-    _link_counts(soup, url, base_domain, result)
     _hreflang(soup, result)
     _schema_org(soup, result)
 
-    link_records = collect_link_records(soup, url, base_domain)
-    outlinks = extract_outlinks(soup, url)
+    link_records, outlinks = _links_fused(soup, url, base_domain, result)
 
     return result, link_records, outlinks
+
+
+def _links_fused(soup, page_url: str, base_domain: str,
+                 result: dict) -> tuple[list[dict], list[tuple[str, str]]]:
+    """One pass over the anchors computing link counts (M11,
+    seo_extractor.py:184-202), link records (M16, link_manager.py:57-124)
+    and frontier outlinks (M15, link_manager.py:22-55) with the urljoin /
+    urlparse / clean-url work memoized per distinct href. Byte-identical to
+    running the three reference passes separately (each anchor is processed
+    independently in document order); a parity test asserts equivalence
+    against the unfused functions."""
+    base_clean = strip_www(base_domain)
+    anchors = [a for a in soup.find_all("a") if a.has_attr("href")]
+    memo: dict[str, tuple] = {}
+
+    def resolved(href: str):
+        hit = memo.get(href)
+        if hit is None:
+            parsed = urlparse(urljoin(page_url, href))
+            clean = f"{parsed.scheme}://{parsed.netloc}{parsed.path}"
+            if parsed.query:
+                clean += f"?{parsed.query}"
+            hit = (parsed, clean)
+            memo[href] = hit
+        return hit
+
+    records: list[dict] = []
+    outlinks: list[tuple[str, str]] = []
+    seen_targets: set[str] = set()
+
+    for link in anchors:
+        raw = link.get("href", "") or ""
+        # M11 counts: raw (unstripped) href
+        if raw and not raw.startswith(("#", "mailto:", "tel:", "javascript:")):
+            parsed, _ = resolved(raw)
+            if strip_www(parsed.netloc) == base_clean:
+                result["internal_links"] += 1
+            else:
+                result["external_links"] += 1
+
+        href = raw.strip()
+        if not href or href.startswith("#"):
+            continue
+        if href.startswith("mailto:") or href.startswith("tel:"):
+            continue
+        # M16 link record
+        anchor_text = link.get_text().strip()[:100]
+        try:
+            parsed_target, clean_url = resolved(href)
+            if clean_url not in seen_targets:
+                seen_targets.add(clean_url)
+                records.append({
+                    "source_url": page_url,
+                    "target_url": clean_url,
+                    "anchor_text": anchor_text or "(no text)",
+                    "is_internal": strip_www(parsed_target.netloc) == base_clean,
+                    "target_domain": parsed_target.netloc,
+                    "target_status": None,
+                    "placement": detect_link_placement(link),
+                })
+        except Exception:
+            continue
+        # M15 frontier candidate (self-links excluded)
+        if clean_url != page_url:
+            outlinks.append((clean_url, href))
+
+    return records, outlinks
 
 
 def _basic_seo(soup: Node, result: dict) -> None:

@@ -133,6 +133,57 @@ def _matches(el: Node, name: str | None, attr_filters: dict) -> bool:
     return True
 
 
+class IndexedDoc:
+    """One-walk index over a parsed tree: elements grouped by tag name (in
+    document order) plus the concatenated text. Presents the same
+    ``find``/``find_all``/``get_text`` surface the extractors use, so the
+    ten extractor passes cost one tree walk instead of twelve (hot-path
+    optimization; semantics identical to walking the tree each time)."""
+
+    __slots__ = ("root", "by_tag", "elements", "_text")
+
+    def __init__(self, root: Node):
+        self.root = root
+        by_tag: dict[str, list[Node]] = {}
+        elements: list[Node] = []
+        parts: list[str] = []
+        stack = list(reversed(root.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, str):
+                parts.append(node)
+                continue
+            elements.append(node)
+            by_tag.setdefault(node.name, []).append(node)
+            stack.extend(reversed(node.children))
+        self.by_tag = by_tag
+        self.elements = elements
+        self._text = "".join(parts)
+
+    def get_text(self) -> str:
+        return self._text
+
+    def find(self, _tag: str | None = None, **attr_filters):
+        pool = self.by_tag.get(_tag, []) if _tag else self.elements
+        for el in pool:
+            if _matches(el, None, attr_filters):
+                return el
+        return None
+
+    def find_all(self, _tag: str | None = None, limit: int | None = None,
+                 **attr_filters):
+        pool = self.by_tag.get(_tag, []) if _tag else self.elements
+        if not attr_filters:
+            return pool[:limit] if limit is not None else list(pool)
+        out = []
+        for el in pool:
+            if _matches(el, None, attr_filters):
+                out.append(el)
+                if limit is not None and len(out) >= limit:
+                    break
+        return out
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)

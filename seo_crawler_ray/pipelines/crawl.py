@@ -51,12 +51,21 @@ from ..state.politeness import host_shard, make_politeness_shards
 from ..state.robots import RobotsIndex
 from ..state.urlseen import make_seen_shards
 from ..stages.dedup_stage import SeenFilter, register_urls
-from ..stages.extract_stage import FetchExtract, explode_links, explode_outlinks
+from ..stages.extract_stage import (explode_links, explode_outlinks,
+                                    fetch_extract_batch)
 
 
 @ray.remote
 def _count_rows(tbl: pa.Table) -> int:
     return tbl.num_rows
+
+
+@ray.remote
+def _host_counts_block(tbl: pa.Table) -> dict:
+    import collections
+    if "host" not in tbl.column_names:  # empty terminal block has no schema
+        return {}
+    return dict(collections.Counter(tbl["host"].to_pylist()))
 
 
 @ray.remote
@@ -99,6 +108,7 @@ class CrawlJob:
             seed_url = seeds["url"][0].as_py()
         self.seed_url_raw = seed_url
         self.metrics: list[dict] = []
+        self._frontier_hint: int | None = None  # rows in the upcoming wave
 
     # -- layout -----------------------------------------------------------
     def _p(self, *parts: str) -> str:
@@ -126,6 +136,7 @@ class CrawlJob:
 
         seen = make_seen_shards(cfg.seen_shards, cfg.seen_capacity, cfg.seen_exact)
         politeness = make_politeness_shards(cfg.politeness_shards, cfg.delay)
+        self._politeness = politeness
 
         start_wave = 0
         crawled_total = 0
@@ -134,6 +145,7 @@ class CrawlJob:
 
         if start_wave == 0:
             n0 = self._build_wave0(seed_url, base_domain, robots, seen, cfg)
+            self._frontier_hint = n0
             if n0 == 0:
                 self._finish(t_start, crawled_total, n_corpus)
                 return self.summary()
@@ -171,6 +183,9 @@ class CrawlJob:
                     urls.append(u)
         flags = register_urls(seen, urls)
         frontier = [u for u, f in zip(urls, flags) if f][: cfg.max_urls]
+        import collections
+        counts = collections.Counter(urlparse(u).netloc for u in frontier)
+        self._advance_politeness(dict(counts), self._politeness, robots)
         tbl = pa.table({
             "url": pa.array(frontier, pa.large_string()),
             "host": pa.array([urlparse(u).netloc for u in frontier]),
@@ -189,44 +204,75 @@ class CrawlJob:
                   seen, politeness, crawled_total: int) -> tuple[int, int]:
         cfg = self.config
         t0 = time.perf_counter()
-        frontier = ray.data.read_parquet(frontier_path)
+        stage_t: dict[str, float] = {}
 
-        # politeness budget is consumed by THIS wave's fetches
-        makespan = self._advance_politeness(frontier, politeness, robots)
+        def _mark(name, since):
+            now = time.perf_counter()
+            stage_t[name] = round(now - since, 3)
+            return now
+
+        # block count = task parallelism for the extract stage: one block per
+        # ~batch_size rows, capped at 2 tasks/CPU (a single-file frontier
+        # would otherwise become ONE task)
+        hint = self._frontier_hint or 0
+        n_blocks = max(1, min(self._cpu_budget() * 2,
+                              hint // cfg.extract_batch_size + 1))
+        frontier = ray.data.read_parquet(frontier_path,
+                                         override_num_blocks=n_blocks)
+        t = t0
 
         extracted = frontier.map_batches(
-            FetchExtract,
-            fn_constructor_args=(corpus_ref, robots_ref, base_domain,
-                                 self._cfg_dict(), max_depth, wave),
+            fetch_extract_batch,
+            fn_kwargs=dict(corpus_ref=corpus_ref, robots_ref=robots_ref,
+                           base_domain=base_domain, cfg_dict=self._cfg_dict(),
+                           cfg_key=self._cfg_key(), max_depth=max_depth,
+                           wave=wave),
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
-            concurrency=self._extract_concurrency(),
             num_cpus=1,
         ).materialize()
         n_frontier = extracted.count()
+        t = _mark("extract", t)
 
         # sinks: pages (html-free by construction) and exploded link records
         extracted.drop_columns(["_links", "_outlinks"]).write_parquet(
             self._p("pages", f"wave={wave}"))
+        t = _mark("pages_write", t)
         extracted.select_columns(["_links", "rank", "wave"]).map_batches(
             explode_links, batch_format="pyarrow").write_parquet(
             self._p("links", f"wave={wave}"))
+        t = _mark("links_write", t)
 
         # next frontier
         candidates = extracted.select_columns(["_outlinks", "depth"]).map_batches(
             explode_outlinks, batch_format="pyarrow")
         collapsed = candidates.groupby("url").aggregate(Min("key"), Min("depth"))
         collapsed = collapsed.map_batches(_rename_collapsed, batch_format="pyarrow")
-        fresh = collapsed.map_batches(SeenFilter, fn_constructor_args=(seen,),
-                                      batch_format="pyarrow", concurrency=2,
+        # SeenFilter instance -> task UDF (it only holds actor handles, so
+        # there is no per-worker state worth an actor pool)
+        fresh = collapsed.map_batches(SeenFilter(seen), batch_format="pyarrow",
                                       num_cpus=0.25)
         remaining = max(0, cfg.max_urls - crawled_total - n_frontier)
         ordered = fresh.sort("key").limit(remaining) if remaining else fresh.limit(0)
         mat = ordered.materialize()
+        t = _mark("frontier_dedup_sort", t)
         ranked = add_global_rank(mat, crawled_total + n_frontier).materialize()
         n_next = ranked.count()
+        self._frontier_hint = n_next
         if n_next:
             ranked.write_parquet(self._p("frontier", f"wave={wave + 1}"))
+        t = _mark("rank_write", t)
+
+        # politeness clocks advance for the NEXT wave's fetches, computed from
+        # the ranked blocks with per-block counter tasks (no extra groupby
+        # execution); checkpointed with this wave, so resume stays consistent
+        counts: dict[str, int] = {}
+        for part in ray.get([_host_counts_block.remote(r)
+                             for r in ranked.to_arrow_refs()]):
+            for h, c in part.items():
+                counts[h] = counts.get(h, 0) + c
+        makespan = self._advance_politeness(counts, politeness, robots)
+        t = _mark("politeness", t)
 
         wall = time.perf_counter() - t0
         self.metrics.append({
@@ -235,19 +281,17 @@ class CrawlJob:
             "wall_sec": round(wall, 4),
             "urls_per_sec": round(n_frontier / wall, 2) if wall > 0 else 0.0,
             "politeness_makespan": makespan,
+            "stages": stage_t,
         })
         return n_next, n_frontier
 
-    def _advance_politeness(self, frontier_ds, politeness,
+    def _advance_politeness(self, host_counts: dict[str, int], politeness,
                             robots: RobotsIndex) -> float:
-        counts = frontier_ds.groupby("host").count().take_all()  # hosts/wave: small
         per_shard: dict[int, dict[str, tuple[int, float]]] = {}
-        for row in counts:
-            h = row["host"]
+        for h, c in host_counts.items():
             delay = robots.crawl_delay(self.config.user_agent, h,
                                        default=self.config.delay)
-            per_shard.setdefault(host_shard(h, len(politeness)), {})[h] = (
-                row["count()"], delay)
+            per_shard.setdefault(host_shard(h, len(politeness)), {})[h] = (c, delay)
         refs = [politeness[s].advance_counts.remote(d) for s, d in per_shard.items()]
         ray.get(refs)
         return max(ray.get([p.makespan.remote() for p in politeness]), default=0.0)
@@ -306,16 +350,17 @@ class CrawlJob:
     def _cfg_dict(self) -> dict:
         return asdict(self.config)
 
-    def _extract_concurrency(self):
-        c = self.config.extract_concurrency
-        if c is not None:
-            return c
+    def _cpu_budget(self) -> int:
         try:
-            n = int(ray.cluster_resources().get("CPU", 4))
+            return int(ray.cluster_resources().get("CPU", 4))
         except Exception:
-            n = 4
-        # leave headroom for the read/write/shuffle tasks and the SeenFilter pool
-        return max(2, min(24, n - 3))
+            return 4
+
+    def _cfg_key(self) -> str:
+        import hashlib
+        import json as _json
+        return hashlib.md5(_json.dumps(self._cfg_dict(), sort_keys=True,
+                                       default=str).encode()).hexdigest()
 
 
 def _rename_collapsed(batch: pa.Table) -> pa.Table:

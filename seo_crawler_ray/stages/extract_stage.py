@@ -102,20 +102,25 @@ LINKS_SCHEMA = pa.schema([
 
 
 class FetchExtract:
-    """Callable class for ``map_batches(..., concurrency=N)`` actor pools."""
+    """The fetch+extract worker context (corpus index, robots, predicate).
 
-    def __init__(self, corpus_ref, robots_ref, base_domain: str, cfg_dict: dict,
-                 max_depth: int, wave: int):
+    Used through ``fetch_extract_batch`` as a *task* UDF with a per-worker-
+    process cache rather than a ``map_batches`` actor pool: the crawl is an
+    iterative driver loop, and an actor pool would be torn down and respawned
+    every wave (process spawn + corpus re-index per actor per wave). Tasks
+    reuse warm Ray worker processes, so the context is built once per worker
+    per job and amortizes across *all* waves. The corpus Arrow table itself
+    is shared via the object store (``ray.put`` once; buffers map zero-copy
+    into every worker)."""
+
+    def __init__(self, corpus_ref, robots_ref, base_domain: str, cfg_dict: dict):
         corpus: pa.Table = ray.get(corpus_ref)           # zero-copy from plasma
-        self._urls = corpus["url"].to_pylist()
-        self._index = {u: i for i, u in enumerate(self._urls)}
+        self._index = {u: i for i, u in enumerate(corpus["url"].to_pylist())}
         self._html = corpus["html"]
         self._status = corpus["status_code"].to_pylist()
         self._ct = corpus["content_type_header"].to_pylist()
         robots = ray.get(robots_ref)
         self.base_domain = base_domain
-        self.max_depth = max_depth
-        self.wave = wave
         self.should_crawl = ShouldCrawl(
             base_domain, cfg_dict["crawl_external"], cfg_dict["respect_robots"],
             cfg_dict["include_extensions"], cfg_dict["exclude_extensions"],
@@ -123,18 +128,19 @@ class FetchExtract:
             robots_index=robots, user_agent=cfg_dict["user_agent"])
         self.crawl_external = cfg_dict["crawl_external"]
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def extract_batch(self, batch: pa.Table, max_depth: int, wave: int) -> pa.Table:
         urls = batch["url"].to_pylist()
         depths = batch["depth"].to_pylist()
         ranks = batch["rank"].to_pylist()
         rows = []
         for url, depth, rank in zip(urls, depths, ranks):
-            rows.append(self._one(url, int(depth), int(rank)))
+            rows.append(self._one(url, int(depth), int(rank), max_depth, wave))
         cols = {name: [r[name] for r in rows] for name in PAGES_SCHEMA.names}
         arrays = [pa.array(cols[f.name], type=f.type) for f in PAGES_SCHEMA]
         return pa.Table.from_arrays(arrays, schema=PAGES_SCHEMA)
 
-    def _one(self, url: str, depth: int, rank: int) -> dict:
+    def _one(self, url: str, depth: int, rank: int, max_depth: int,
+             wave: int) -> dict:
         idx = self._index.get(url)
         if idx is None:
             # a live crawl would raise in requests -> create_empty_result
@@ -151,7 +157,7 @@ class FetchExtract:
 
         row = dict(result)
         row["rank"] = rank
-        row["wave"] = self.wave
+        row["wave"] = wave
         row["meta_tags"] = list(result["meta_tags"].items())
         row["og_tags"] = list(result["og_tags"].items())
         row["twitter_tags"] = list(result["twitter_tags"].items())
@@ -165,8 +171,8 @@ class FetchExtract:
             for li, rec in enumerate(link_records)]
 
         out = []
-        should_extract = ((result["is_internal"] and depth < self.max_depth)
-                          or (self.crawl_external and depth < self.max_depth))
+        should_extract = ((result["is_internal"] and depth < max_depth)
+                          or (self.crawl_external and depth < max_depth))
         if should_extract:
             base_key = rank << LINK_IDX_BITS
             for li, (clean_url, _href) in enumerate(outlinks):
@@ -176,6 +182,24 @@ class FetchExtract:
                                 "key": base_key + li})
         row["_outlinks"] = out
         return row
+
+
+# per-worker-process context cache: keyed by the broadcast refs + config
+# fingerprint, so two jobs with different configs in one session can't
+# collide. Lives for the worker's lifetime — warm across waves.
+_CTX_CACHE: dict[tuple, FetchExtract] = {}
+
+
+def fetch_extract_batch(batch: pa.Table, *, corpus_ref, robots_ref,
+                        base_domain: str, cfg_dict: dict, cfg_key: str,
+                        max_depth: int, wave: int) -> pa.Table:
+    key = (corpus_ref.hex(), robots_ref.hex(), base_domain, cfg_key)
+    ctx = _CTX_CACHE.get(key)
+    if ctx is None:
+        ctx = FetchExtract(corpus_ref, robots_ref, base_domain, cfg_dict)
+        _CTX_CACHE.clear()   # one corpus context per worker is plenty
+        _CTX_CACHE[key] = ctx
+    return ctx.extract_batch(batch, max_depth, wave)
 
 
 def explode_links(batch: pa.Table) -> pa.Table:

@@ -164,3 +164,31 @@ def test_hreflang():
             '<link rel="alternate" href="https://x.ex.com/">')
     res, _, _ = _page(html)
     assert res["hreflang"] == [{"lang": "de", "url": "https://de.ex.com/"}]
+
+
+def test_fused_links_match_unfused_on_corpus(tiny_corpus):
+    """The fused single-pass link extraction must be byte-identical to the
+    three separate reference passes (M11/M15/M16) on every corpus page."""
+    import pyarrow.parquet as pq
+    from seo_crawler_ray.functions.extract import (
+        _links_fused, _link_counts, collect_link_records, extract_outlinks)
+    from seo_crawler_ray.htmlparse.dom import IndexedDoc, parse_html
+
+    pages = pq.read_table(f"{tiny_corpus}/pages.parquet").to_pylist()
+    base = "www.hot-site.example"
+    checked = 0
+    for p in pages[:80]:
+        if not p["text"]:
+            continue
+        root = parse_html(p["html"])
+        doc = IndexedDoc(root)
+        res = {"internal_links": 0, "external_links": 0, "url": p["url"]}
+        recs_f, outs_f = _links_fused(doc, p["url"], base, res)
+        res_ref = {"internal_links": 0, "external_links": 0, "url": p["url"]}
+        _link_counts(root, p["url"], base, res_ref)
+        assert (res["internal_links"], res["external_links"]) == \
+            (res_ref["internal_links"], res_ref["external_links"])
+        assert recs_f == collect_link_records(root, p["url"], base)
+        assert outs_f == extract_outlinks(root, p["url"])
+        checked += 1
+    assert checked > 50
