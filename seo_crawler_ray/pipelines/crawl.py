@@ -51,8 +51,7 @@ from ..state.politeness import host_shard, make_politeness_shards
 from ..state.robots import RobotsIndex
 from ..state.urlseen import make_seen_shards
 from ..stages.dedup_stage import SeenFilter, register_urls
-from ..stages.extract_stage import (explode_links, explode_outlinks,
-                                    fetch_extract_batch)
+from ..stages.extract_stage import extract_and_sink_batch
 
 
 @ray.remote
@@ -61,11 +60,18 @@ def _count_rows(tbl: pa.Table) -> int:
 
 
 @ray.remote
-def _host_counts_block(tbl: pa.Table) -> dict:
+def _rank_write_block(tbl: pa.Table, offset: int, path: str) -> tuple[int, dict]:
+    """Append the global rank column, write this frontier block's parquet
+    part, and return (rows, host counts) for politeness accounting — one
+    task per block replaces three Dataset executions."""
     import collections
-    if "host" not in tbl.column_names:  # empty terminal block has no schema
-        return {}
-    return dict(collections.Counter(tbl["host"].to_pylist()))
+    if tbl.num_rows == 0 or "host" not in tbl.column_names:
+        return 0, {}
+    rank = pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
+    out = tbl.append_column("rank", rank)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(out, path)
+    return tbl.num_rows, dict(collections.Counter(tbl["host"].to_pylist()))
 
 
 @ray.remote
@@ -142,6 +148,13 @@ class CrawlJob:
         crawled_total = 0
         if resume:
             start_wave, crawled_total = self._restore(seen, politeness)
+            if start_wave > 0:
+                # exact row count of the resumed frontier from parquet footers
+                import glob
+                files = glob.glob(self._p("frontier", f"wave={start_wave}",
+                                          "*.parquet"))
+                self._frontier_hint = sum(pq.read_metadata(f).num_rows
+                                          for f in files)
 
         if start_wave == 0:
             n0 = self._build_wave0(seed_url, base_domain, robots, seen, cfg)
@@ -221,58 +234,46 @@ class CrawlJob:
                                          override_num_blocks=n_blocks)
         t = t0
 
-        extracted = frontier.map_batches(
-            fetch_extract_batch,
+        # one execution: fetch+extract, write pages/links parts from the
+        # tasks, emit only the narrow outlink candidates downstream
+        candidates = frontier.map_batches(
+            extract_and_sink_batch,
             fn_kwargs=dict(corpus_ref=corpus_ref, robots_ref=robots_ref,
                            base_domain=base_domain, cfg_dict=self._cfg_dict(),
                            cfg_key=self._cfg_key(), max_depth=max_depth,
-                           wave=wave),
+                           wave=wave,
+                           pages_dir=self._p("pages", f"wave={wave}"),
+                           links_dir=self._p("links", f"wave={wave}")),
             batch_format="pyarrow",
-            batch_size=cfg.extract_batch_size,
+            batch_size=None,   # whole block per call -> ONE parquet part per
+                               # task; parallelism comes from n_blocks above
             num_cpus=1,
-        ).materialize()
-        n_frontier = extracted.count()
+        )
+        # materialize the (narrow) candidates so the extract stage gets the
+        # WHOLE CPU budget: in a single fused execution the streaming
+        # executor splits resources across extract/aggregate/sort operators
+        # and the hot extract stage ends up nearly serial
+        candidates = candidates.materialize()
+        if os.environ.get("SEO_RAY_STATS"):
+            print(f"=== wave {wave} extract stats ===\n{candidates.stats()}")
+        n_frontier = hint
         t = _mark("extract", t)
 
-        # sinks: pages (html-free by construction) and exploded link records
-        extracted.drop_columns(["_links", "_outlinks"]).write_parquet(
-            self._p("pages", f"wave={wave}"))
-        t = _mark("pages_write", t)
-        extracted.select_columns(["_links", "rank", "wave"]).map_batches(
-            explode_links, batch_format="pyarrow").write_parquet(
-            self._p("links", f"wave={wave}"))
-        t = _mark("links_write", t)
-
-        # next frontier
-        candidates = extracted.select_columns(["_outlinks", "depth"]).map_batches(
-            explode_outlinks, batch_format="pyarrow")
-        collapsed = candidates.groupby("url").aggregate(Min("key"), Min("depth"))
-        collapsed = collapsed.map_batches(_rename_collapsed, batch_format="pyarrow")
-        # SeenFilter instance -> task UDF (it only holds actor handles, so
-        # there is no per-worker state worth an actor pool)
-        fresh = collapsed.map_batches(SeenFilter(seen), batch_format="pyarrow",
-                                      num_cpus=0.25)
         remaining = max(0, cfg.max_urls - crawled_total - n_frontier)
-        ordered = fresh.sort("key").limit(remaining) if remaining else fresh.limit(0)
-        mat = ordered.materialize()
-        t = _mark("frontier_dedup_sort", t)
-        ranked = add_global_rank(mat, crawled_total + n_frontier).materialize()
-        n_next = ranked.count()
+        n_cand = candidates.count()   # metadata on the materialized dataset
+        if n_cand <= cfg.wave_compact_threshold:
+            n_next, host_counts = self._build_frontier_compact(
+                candidates, seen, remaining, crawled_total + n_frontier,
+                wave)
+            t = _mark("dedup_sort_compact", t)
+        else:
+            n_next, host_counts = self._build_frontier_distributed(
+                candidates, seen, remaining, crawled_total + n_frontier,
+                wave)
+            t = _mark("dedup_sort_distributed", t)
         self._frontier_hint = n_next
-        if n_next:
-            ranked.write_parquet(self._p("frontier", f"wave={wave + 1}"))
+        makespan = self._advance_politeness(host_counts, politeness, robots)
         t = _mark("rank_write", t)
-
-        # politeness clocks advance for the NEXT wave's fetches, computed from
-        # the ranked blocks with per-block counter tasks (no extra groupby
-        # execution); checkpointed with this wave, so resume stays consistent
-        counts: dict[str, int] = {}
-        for part in ray.get([_host_counts_block.remote(r)
-                             for r in ranked.to_arrow_refs()]):
-            for h, c in part.items():
-                counts[h] = counts.get(h, 0) + c
-        makespan = self._advance_politeness(counts, politeness, robots)
-        t = _mark("politeness", t)
 
         wall = time.perf_counter() - t0
         self.metrics.append({
@@ -284,6 +285,93 @@ class CrawlJob:
             "stages": stage_t,
         })
         return n_next, n_frontier
+
+    # -- next-frontier construction (two equivalent paths) -----------------
+    #
+    # Both paths implement: collapse within-wave duplicates to the minimum
+    # FIFO key, drop already-seen URLs via the seen shards, order by key,
+    # cap at the remaining max_urls budget, assign global ranks, write the
+    # wave=K+1 frontier parquet, and return (rows, per-host counts).
+    # A parity test asserts the two produce identical crawls.
+
+    def _build_frontier_distributed(self, candidates, seen, remaining: int,
+                                    rank_offset: int, wave: int):
+        """Scale path: groupby(url).min(key) shuffle + seen-filter tasks +
+        distributed sort — for waves too large to collapse on the driver
+        (the normal case at the 10^10-URL design scale)."""
+        collapsed = candidates.groupby("url").aggregate(Min("key"), Min("depth"))
+        collapsed = collapsed.map_batches(_rename_collapsed, batch_format="pyarrow")
+        # SeenFilter instance -> task UDF (it only holds actor handles, so
+        # there is no per-worker state worth an actor pool)
+        fresh = collapsed.map_batches(SeenFilter(seen), batch_format="pyarrow",
+                                      num_cpus=0.25)
+        ordered = fresh.sort("key").limit(remaining) if remaining else fresh.limit(0)
+        mat = ordered.materialize()
+
+        refs = mat.to_arrow_refs()
+        counts = ray.get([_count_rows.remote(r) for r in refs])
+        offsets = (np.concatenate(([0], np.cumsum(counts)[:-1]))
+                   + rank_offset) if counts else []
+        next_dir = self._p("frontier", f"wave={wave + 1}")
+        results = ray.get([
+            _rank_write_block.remote(r, int(o), os.path.join(
+                next_dir, f"part-{i:05d}.parquet"))
+            for i, (r, o) in enumerate(zip(refs, offsets))])
+        n_next = sum(n for n, _ in results)
+        host_counts: dict[str, int] = {}
+        for _, part in results:
+            for h, c in part.items():
+                host_counts[h] = host_counts.get(h, 0) + c
+        return n_next, host_counts
+
+    def _build_frontier_compact(self, candidates, seen, remaining: int,
+                                rank_offset: int, wave: int):
+        """Small-wave fast path: the candidate rows are narrow (url, host,
+        key, depth), so below ``wave_compact_threshold`` rows the collapse +
+        order happens in one driver pass (a dict and a sort) and the seen
+        check is one batched RPC round to the shards — skipping two
+        all-to-all executions whose fixed cost dwarfs tiny waves. Same
+        broadcast-vs-shuffle reasoning as a broadcast-join threshold."""
+        import collections
+
+        tbl = pa.concat_tables(
+            [b for b in ray.get(candidates.to_arrow_refs()) if b.num_rows],
+            promote_options="default") if candidates.count() else None
+        best: dict[str, tuple[int, str, int]] = {}
+        if tbl is not None:
+            for url, host, key, depth in zip(
+                    tbl["url"].to_pylist(), tbl["host"].to_pylist(),
+                    tbl["key"].to_pylist(), tbl["depth"].to_pylist()):
+                cur = best.get(url)
+                if cur is None or key < cur[0]:
+                    best[url] = (key, host, depth)
+        rows = sorted((k, u, h, d) for u, (k, h, d) in best.items())
+        urls = [u for _, u, _, _ in rows]
+        flags = register_urls(seen, urls)
+        survivors = [r for r, f in zip(rows, flags) if f][:remaining]
+        n_next = len(survivors)
+        if n_next:
+            out = pa.table({
+                "url": pa.array([u for _, u, _, _ in survivors], pa.large_string()),
+                "host": pa.array([h for _, _, h, _ in survivors]),
+                "key": pa.array([k for k, _, _, _ in survivors], pa.int64()),
+                "depth": pa.array([d for _, _, _, d in survivors], pa.int32()),
+                "rank": pa.array(range(rank_offset, rank_offset + n_next),
+                                 pa.int64()),
+            })
+            next_dir = self._p("frontier", f"wave={wave + 1}")
+            os.makedirs(next_dir, exist_ok=True)
+            # several parts so the next wave's read parallelizes
+            k_parts = max(1, min(self._cpu_budget() * 2,
+                                 n_next // self.config.extract_batch_size + 1))
+            step = (n_next + k_parts - 1) // k_parts
+            for i in range(k_parts):
+                part = out.slice(i * step, step)
+                if part.num_rows:
+                    pq.write_table(part, os.path.join(next_dir,
+                                                      f"part-{i:05d}.parquet"))
+        host_counts = dict(collections.Counter(h for _, _, h, _ in survivors))
+        return n_next, host_counts
 
     def _advance_politeness(self, host_counts: dict[str, int], politeness,
                             robots: RobotsIndex) -> float:

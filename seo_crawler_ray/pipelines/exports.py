@@ -1,0 +1,257 @@
+"""Export / read-path operators over the crawl output tables.
+
+Reference semantics (all citations /root/reference/main.py):
+
+- CSV pages export (S10, main.py:264-318): per-field summarization —
+  analytics -> "GA4, GA, GTM, FB, HJ, MP" list, og/twitter -> "<n> tags",
+  json_ld -> "<n> scripts", images -> "<n> images", internal/external ->
+  "<n> internal links", h2/h3 -> first 3 joined + "...".
+- JSON export (S11, main.py:321-341): field-filtered rows + envelope.
+- XML export (S12, main.py:344-358): flat element per field.
+- links CSV (S13, main.py:361-389): Yes/No booleans, "Not crawled" nulls.
+- issues grouped-by-url JSON (S13, main.py:455-477).
+- issue re-filter on read (M20, main.py:396-428): same fnmatch logic with
+  comment/blank pattern skipping.
+- viz edge projection (J4, main.py:826-890): first-500 node cap, internal
+  links only, self-loops dropped, edge dedup.
+- PageSpeed page selection (O4, src/crawler.py:1248-1284): homepage =
+  first exact-root else shortest path among 200-internal, plus first two
+  single-segment pages.
+- resume queue rebuild (J5, src/crawler.py:455-476): anti-join of internal
+  link targets against the crawled set.
+
+Everything is a Dataset projection / small driver-side assembly; the wide
+work happened upstream.
+"""
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+import pandas as pd
+import pyarrow as pa
+
+
+CSV_DEFAULT_FIELDS = [
+    "url", "status_code", "content_type", "title", "meta_description", "h1",
+    "h2", "h3", "word_count", "internal_links", "external_links", "analytics",
+    "og_tags", "twitter_tags", "json_ld", "images", "canonical_url", "lang",
+]
+
+
+def pages_csv_rows(batch: pa.Table, fields: list[str] | None = None) -> pa.Table:
+    """S10: one summarized string cell per field (main.py:264-318)."""
+    fields = fields or CSV_DEFAULT_FIELDS
+    out: dict[str, list[str]] = {f: [] for f in fields}
+    for r in batch.to_pylist():
+        import json as _json
+        for field in fields:
+            value = r.get(field, "")
+            if field == "analytics" and isinstance(value, dict):
+                parts = []
+                if value.get("gtag") or value.get("ga4_id"):
+                    parts.append("GA4")
+                if value.get("google_analytics"):
+                    parts.append("GA")
+                if value.get("gtm_id"):
+                    parts.append("GTM")
+                if value.get("facebook_pixel"):
+                    parts.append("FB")
+                if value.get("hotjar"):
+                    parts.append("HJ")
+                if value.get("mixpanel"):
+                    parts.append("MP")
+                cell = ", ".join(parts)
+            elif field in ("og_tags", "twitter_tags"):
+                d = dict(value or [])
+                cell = f"{len(d)} tags" if d else ""
+            elif field == "json_ld":
+                items = _json.loads(value) if isinstance(value, str) else (value or [])
+                cell = f"{len(items)} scripts" if items else ""
+            elif field == "images":
+                cell = f"{len(value)} images" if value else ""
+            elif field == "internal_links":
+                cell = f"{int(value)} internal links" if value else "0 internal links"
+            elif field == "external_links":
+                cell = f"{int(value)} external links" if value else "0 external links"
+            elif field in ("h2", "h3") and isinstance(value, list):
+                cell = ", ".join(value[:3]) + ("..." if len(value) > 3 else "")
+            elif isinstance(value, (dict, list)):
+                cell = str(value)
+            else:
+                cell = "" if value is None else str(value)
+            out[field].append(cell)
+    return pa.table({f: pa.array(out[f], pa.string()) for f in fields})
+
+
+def export_pages_csv(pages_ds, out_path: str, fields: list[str] | None = None) -> None:
+    import ray.data
+    proj = pages_ds.map_batches(pages_csv_rows, batch_format="pyarrow",
+                                fn_kwargs={"fields": fields})
+    proj.write_csv(out_path)
+
+
+def links_csv_rows(batch: pa.Table) -> pa.Table:
+    """S13 links CSV: Yes/No + 'Not crawled' (main.py:361-389)."""
+    rows = batch.to_pylist()
+    return pa.table({
+        "source_url": [r["source_url"] for r in rows],
+        "target_url": [r["target_url"] for r in rows],
+        "anchor_text": [r["anchor_text"] for r in rows],
+        "is_internal": ["Yes" if r["is_internal"] else "No" for r in rows],
+        "target_domain": [r["target_domain"] for r in rows],
+        "target_status": [str(r["target_status"]) if r.get("target_status")
+                          is not None else "Not crawled" for r in rows],
+        "placement": [r.get("placement", "body") for r in rows],
+    })
+
+
+def filter_issues_for_display(issues_df: pd.DataFrame,
+                              exclusion_patterns: list[str]) -> pd.DataFrame:
+    """M20 re-filter at read time (main.py:396-428): blank / '#'-comment
+    patterns are skipped — a quirk the crawl-time filter does not have."""
+    from fnmatch import fnmatch
+    if not exclusion_patterns:
+        return issues_df
+
+    active = [p for p in exclusion_patterns
+              if p.strip() and not p.strip().startswith("#")]
+
+    def excluded(url: str) -> bool:
+        path = urlparse(url).path
+        for pattern in active:
+            if "*" in pattern:
+                if fnmatch(path, pattern):
+                    return True
+            elif path == pattern or path.startswith(pattern.rstrip("*")):
+                return True
+        return False
+
+    keep = ~issues_df["url"].map(excluded)
+    return issues_df[keep].reset_index(drop=True)
+
+
+def issues_by_url(issues_df: pd.DataFrame) -> dict:
+    """S13 issues JSON grouping (main.py:455-465)."""
+    grouped: dict[str, list[dict]] = {}
+    for r in issues_df.to_dict("records"):
+        grouped.setdefault(r["url"], []).append(
+            {"type": r["type"], "category": r["category"],
+             "issue": r["issue"], "details": r["details"]})
+    return grouped
+
+
+def xml_export(rows: list[dict], fields: list[str], export_date: str) -> str:
+    """S12 flat XML (main.py:344-358); export_date injected for determinism."""
+    import xml.etree.ElementTree as ET
+    root = ET.Element("librecrawl_export")
+    root.set("export_date", export_date)
+    root.set("total_urls", str(len(rows)))
+    urls_el = ET.SubElement(root, "urls")
+    for r in rows:
+        url_el = ET.SubElement(urls_el, "url")
+        for field in fields:
+            fe = ET.SubElement(url_el, field)
+            fe.text = str(r.get(field, ""))
+    return ET.tostring(root, encoding="unicode")
+
+
+# ------------------------------------------------------- selections ------
+def select_pages_for_pagespeed(pages_df: pd.DataFrame) -> list[str]:
+    """O4 (crawler.py:1248-1284): iterate results in crawl order; homepage =
+    first exact-root (break) else shortest-path page; then first two
+    single-segment pages != homepage."""
+    df = pages_df.sort_values("rank") if "rank" in pages_df else pages_df
+    homepage = None
+    min_path_len = float("inf")
+    for r in df.to_dict("records"):
+        if r.get("status_code") == 200 and r.get("is_internal"):
+            path = urlparse(r["url"]).path.rstrip("/")
+            if path in ("", "/"):
+                homepage = r["url"]
+                break
+            elif len(path) < min_path_len:
+                homepage = r["url"]
+                min_path_len = len(path)
+    selected = [homepage] if homepage else []
+    category = []
+    for r in df.to_dict("records"):
+        if r.get("status_code") == 200 and r.get("is_internal"):
+            path = urlparse(r["url"]).path.strip("/")
+            if path and "/" not in path and r["url"] != homepage:
+                category.append(r["url"])
+    selected.extend(category[:2])
+    return selected
+
+
+def viz_graph(pages_df: pd.DataFrame, links_df: pd.DataFrame,
+              max_nodes: int = 500) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """J4 (main.py:826-890): node table (id, url, status, color, size) for
+    the first ``max_nodes`` pages in crawl order + deduped internal edge
+    table with self-loops dropped."""
+    df = pages_df.sort_values("rank").head(max_nodes).reset_index(drop=True)
+
+    def color(status):
+        if 200 <= status < 300:
+            return "#10b981"
+        if 300 <= status < 400:
+            return "#3b82f6"
+        if 400 <= status < 500:
+            return "#f59e0b"
+        if 500 <= status < 600:
+            return "#ef4444"
+        return "#6b7280"
+
+    nodes = pd.DataFrame({
+        "node_id": [f"node-{i}" for i in range(len(df))],
+        "url": df["url"],
+        "status_code": df["status_code"],
+        "color": [color(s) for s in df["status_code"]],
+        "size": [30 if i == 0 else 20 for i in range(len(df))],
+    })
+    url_to_id = dict(zip(nodes["url"], nodes["node_id"]))
+
+    seen = set()
+    src_ids, dst_ids = [], []
+    for r in links_df.to_dict("records"):
+        if not r.get("is_internal"):
+            continue
+        s = url_to_id.get(r["source_url"])
+        d = url_to_id.get(r["target_url"])
+        if s and d and s != d and (s, d) not in seen:
+            seen.add((s, d))
+            src_ids.append(s)
+            dst_ids.append(d)
+    edges = pd.DataFrame({"source": src_ids, "target": dst_ids})
+    return nodes, edges
+
+
+def rebuild_frontier_from_links(pages_ds, links_ds) -> pd.DataFrame:
+    """J5 resume rebuild (crawler.py:455-476): internal link targets not in
+    the crawled set, deduped first-seen. Expressed as a broadcast anti-join
+    (the crawled url set is the small side)."""
+    import ray
+
+    crawled = set(pages_ds.select_columns(["url"]).to_pandas()["url"])
+    crawled_ref = ray.put(crawled)
+
+    def anti(batch: pa.Table, crawled_set) -> pa.Table:
+        keep, urls = [], batch["target_url"].to_pylist()
+        flags = [bool(i) and u not in crawled_set
+                 for u, i in zip(urls, batch["is_internal"].to_pylist())]
+        return batch.filter(pa.array(flags))
+
+    class Anti:
+        def __init__(self, ref):
+            self.crawled = ray.get(ref)
+
+        def __call__(self, batch):
+            return anti(batch, self.crawled)
+
+    pending = links_ds.select_columns(
+        ["target_url", "is_internal", "source_rank"]).map_batches(
+        Anti, fn_constructor_args=(crawled_ref,), batch_format="pyarrow",
+        concurrency=(1, 4)).to_pandas()
+    pending = (pending.sort_values("source_rank")
+               .drop_duplicates(subset=["target_url"], keep="first")
+               .reset_index(drop=True))
+    return pending[["target_url"]]

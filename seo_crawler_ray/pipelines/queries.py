@@ -273,6 +273,54 @@ def q_multimodal_features(sf_dir: str):
     return binary_features(ds)
 
 
+# --------------------------------------------------- export operators -----
+_CSV_QUERY_FIELDS = ["url", "status_code", "title", "word_count",
+                     "internal_links", "external_links", "analytics",
+                     "json_ld", "h2"]
+
+
+def q_export_pages_csv(sf_dir: str):
+    from .exports import pages_csv_rows
+    ds = _pages_ds(sf_dir)
+    return ds.map_batches(pages_csv_rows, batch_format="pyarrow",
+                          fn_kwargs={"fields": list(_CSV_QUERY_FIELDS)})
+
+
+def q_export_links_rows(sf_dir: str):
+    from .exports import links_csv_rows
+    pdf = analysis.link_target_status(_links_ds(sf_dir), _pages_ds(sf_dir))
+    # nullable int, not float-with-NaN: 'Not crawled' needs real Nones and
+    # crawled statuses must print as ints
+    pdf["target_status"] = pdf["target_status"].astype("Int64")
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    out = links_csv_rows(tbl)
+    return out.select(["source_url", "target_url", "anchor_text",
+                       "is_internal", "target_status", "placement"])
+
+
+def q_pagespeed_selection(sf_dir: str):
+    from .exports import select_pages_for_pagespeed
+    pdf = _pages_ds(sf_dir).select_columns(
+        ["url", "rank", "status_code", "is_internal"]).to_pandas()
+    urls = select_pages_for_pagespeed(pdf)
+    return pd.DataFrame({"slot": range(len(urls)), "url": urls})
+
+
+def q_viz_edges(sf_dir: str):
+    from .exports import viz_graph
+    pages = _pages_ds(sf_dir).select_columns(
+        ["url", "rank", "status_code"]).to_pandas()
+    links = _links_ds(sf_dir).select_columns(
+        ["source_url", "target_url", "is_internal"]).to_pandas()
+    _nodes, edges = viz_graph(pages, links)
+    return edges
+
+
+def q_resume_rebuild(sf_dir: str):
+    from .exports import rebuild_frontier_from_links
+    return rebuild_frontier_from_links(_pages_ds(sf_dir), _links_ds(sf_dir))
+
+
 # --------------------------------------------- training-data operators ----
 def q_dedup_exact(sf_dir: str):
     return textops.dedup_exact(_docs_ds(sf_dir))
@@ -377,6 +425,12 @@ def queries() -> dict:
         "extract_pages": q_extract_pages,
         "canonicalize": q_canonicalize,
         "multimodal_features": q_multimodal_features,
+        # export / read-path operators
+        "export_pages_csv": q_export_pages_csv,
+        "export_links_rows": q_export_links_rows,
+        "pagespeed_selection": q_pagespeed_selection,
+        "viz_edges": q_viz_edges,
+        "resume_rebuild": q_resume_rebuild,
         # training-data operators (vs live SQL over the driver views)
         "dedup_exact": q_dedup_exact,
         "minhash_near_dups": q_minhash_near_dups,
@@ -568,6 +622,77 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             "SELECT url, octet_length(html) AS n_bytes, "
             "sha256(hex(html)) AS sha256_hex FROM "
             f"read_parquet('{_cp('pages.parquet')}')"),
+        "export_pages_csv": f"""
+            SELECT url,
+                   CAST(status_code AS VARCHAR) AS status_code,
+                   title,
+                   CAST(word_count AS VARCHAR) AS word_count,
+                   internal_links || ' internal links' AS internal_links,
+                   external_links || ' external links' AS external_links,
+                   concat_ws(', ',
+                       CASE WHEN ga4_id <> '' THEN 'GA4' END,
+                       CASE WHEN google_analytics THEN 'GA' END,
+                       CASE WHEN gtm_id <> '' THEN 'GTM' END,
+                       CASE WHEN facebook_pixel THEN 'FB' END,
+                       CASE WHEN hotjar THEN 'HJ' END,
+                       CASE WHEN mixpanel THEN 'MP' END) AS analytics,
+                   CASE WHEN json_ld_count > 0
+                        THEN json_ld_count || ' scripts' ELSE '' END AS json_ld,
+                   CASE WHEN h2_joined = '' THEN ''
+                        ELSE array_to_string(list_slice(
+                                 string_split(h2_joined, ' | '), 1, 3), ', ')
+                             || CASE WHEN len(string_split(h2_joined, ' | ')) > 3
+                                     THEN '...' ELSE '' END
+                   END AS h2
+            FROM read_parquet('{exp_pages}')""",
+        "export_links_rows": f"""
+            SELECT source_url, target_url, anchor_text,
+                   CASE WHEN is_internal THEN 'Yes' ELSE 'No' END AS is_internal,
+                   CASE WHEN target_status IS NULL THEN 'Not crawled'
+                        ELSE CAST(target_status AS VARCHAR) END AS target_status,
+                   placement
+            FROM read_parquet('{exp_links}')""",
+        "pagespeed_selection": f"""
+            WITH p AS (
+              SELECT url, seq,
+                     COALESCE(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1),
+                              '') AS path
+              FROM read_parquet('{exp_pages}')
+              WHERE status_code = 200 AND is_internal),
+            home_root AS (SELECT url FROM p WHERE rtrim(path, '/') = ''
+                          ORDER BY seq LIMIT 1),
+            home_min AS (SELECT url FROM p
+                         ORDER BY length(rtrim(path, '/')), seq LIMIT 1),
+            homepage AS (
+              SELECT url FROM home_root
+              UNION ALL
+              SELECT url FROM home_min
+              WHERE NOT EXISTS (SELECT 1 FROM home_root)),
+            cats AS (
+              SELECT url, row_number() OVER (ORDER BY seq) AS rn
+              FROM (SELECT url, seq FROM p
+                    WHERE trim(path, '/') <> ''
+                      AND position('/' IN trim(path, '/')) = 0
+                      AND url NOT IN (SELECT url FROM homepage)
+                    ORDER BY seq LIMIT 2))
+            SELECT CAST(0 AS BIGINT) AS slot, url FROM homepage
+            UNION ALL
+            SELECT CAST(rn AS BIGINT) AS slot, url FROM cats""",
+        "viz_edges": f"""
+            WITH nodes AS (
+              SELECT url, 'node-' || CAST(rn - 1 AS VARCHAR) AS node_id
+              FROM (SELECT url, row_number() OVER (ORDER BY seq) AS rn
+                    FROM read_parquet('{exp_pages}'))
+              WHERE rn <= 500)
+            SELECT DISTINCT ns.node_id AS source, nt.node_id AS target
+            FROM read_parquet('{exp_links}') l
+            JOIN nodes ns ON l.source_url = ns.url
+            JOIN nodes nt ON l.target_url = nt.url
+            WHERE l.is_internal AND ns.node_id <> nt.node_id""",
+        "resume_rebuild": f"""
+            SELECT DISTINCT target_url FROM read_parquet('{exp_links}')
+            WHERE is_internal AND target_url NOT IN
+                  (SELECT url FROM read_parquet('{exp_pages}'))""",
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)""",

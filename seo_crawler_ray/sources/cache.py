@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 from ..config import CrawlConfig
 from .corpus import generate_corpus
 
-GEN_VERSION = "r1-07"
+GEN_VERSION = "r1-09"
 CACHE_ROOT = "/tmp/seo_ray_cache"
 EXPECTED_MAX_PAGES = 2500   # oracle sim runs only at small scale
 DUP_SUBSET = 300            # parity-sized O(n^2) duplication window
@@ -45,7 +45,7 @@ def sf_name(sf_dir: str) -> str:
 def n_pages_for(sf_dir: str) -> int:
     m = re.search(r"sf([0-9.]+)", sf_name(sf_dir))
     sf = float(m.group(1)) if m else 0.01
-    return max(200, int(200_000 * sf))
+    return max(200, int(600_000 * sf))
 
 
 def _ok_marker(d: str) -> str:

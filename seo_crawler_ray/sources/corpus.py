@@ -177,7 +177,7 @@ def build_corpus_ir(n_pages: int, seed: int = 42) -> dict:
         if h == "_leaf":
             continue
         for j, pid in enumerate(ids):
-            kids = [ids[k] for k in (3 * j + 1, 3 * j + 2, 3 * j + 3) if k < len(ids)]
+            kids = [ids[k] for k in range(6 * j + 1, 6 * j + 7) if k < len(ids)]
             targets[pid].extend(kids)
     hot_root = by_host[HOT_HOST][0]
     targets[hot_root].extend(r for r in host_roots if r != hot_root)
@@ -185,7 +185,7 @@ def build_corpus_ir(n_pages: int, seed: int = 42) -> dict:
         i = p["page_id"]
         if p["kind"] != "page":
             continue
-        extra = rng.sample(range(n_pages), k=min(3, n_pages))
+        extra = rng.sample(range(n_pages), k=min(8, n_pages))
         targets[i].extend(t for t in extra if t != i)
         if leafs and rng.random() < 0.3:
             targets[i].append(rng.choice(leafs))
@@ -281,9 +281,10 @@ def render_page(p: dict, ir: dict, rng: random.Random) -> dict:
                      "hundred and sixty character ceiling for meta descriptions")
         h1 = f"{w[0].title()} {w[5]} heading {i}" if i % 7 != 6 else ""
 
-    n_h2 = 12 if i % 6 == 0 else 3
-    n_h3 = 12 if i % 6 == 0 else 2
-    n_paras = 2 if i % 8 == 1 else 6          # some thin-content pages
+    n_h2 = 12 if i % 6 == 0 else 6
+    n_h3 = 12 if i % 6 == 0 else 5
+    n_paras = 2 if i % 8 == 1 else 40         # article-sized bodies (~35 KB);
+                                              # some thin-content pages
     big_page = i % 997 == 40                   # ~1.2 MB body -> size warning
     has_viewport = i % 4 != 1
     robots_meta = "noindex, nofollow" if i % 43 == 12 else ("index, follow" if i % 3 == 0 else "")
@@ -307,7 +308,7 @@ def render_page(p: dict, ir: dict, rng: random.Random) -> dict:
         analytics_kinds.add("hotjar")
     if i % 39 == 0:
         analytics_kinds.add("mixpanel")
-    n_images = 25 if i % 27 == 0 else (4 if i % 3 == 0 else 0)
+    n_images = 25 if i % 27 == 0 else (12 if i % 3 == 0 else 5)
     n_missing_alt = min(n_images, i % 5)
     has_hreflang = i % 9 == 0
     has_microdata = i % 12 == 0
@@ -470,7 +471,7 @@ def render_page(p: dict, ir: dict, rng: random.Random) -> dict:
         em.ws()
     h2_texts = [f"Section {i}.{k} on {WORDS[(i + k) % len(WORDS)]}" for k in range(n_h2)]
     h3_texts = [f"Subsection {i}.{k}" for k in range(n_h3)]
-    para_words = n_paras * 60 + (i % 37)
+    para_words = n_paras * 90 + (i % 37)
     body_rng = random.Random(ir["rng_seed"] * 7_000_003 + i)
     paragraphs = []
     for _ in range(n_paras):

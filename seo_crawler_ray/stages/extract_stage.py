@@ -202,6 +202,47 @@ def fetch_extract_batch(batch: pa.Table, *, corpus_ref, robots_ref,
     return ctx.extract_batch(batch, max_depth, wave)
 
 
+def extract_and_sink_batch(batch: pa.Table, *, corpus_ref, robots_ref,
+                           base_domain: str, cfg_dict: dict, cfg_key: str,
+                           max_depth: int, wave: int, pages_dir: str,
+                           links_dir: str) -> pa.Table:
+    """Fused extract + sinks: writes this batch's pages and link records
+    directly to their wave partitions and returns ONLY the narrow outlink
+    candidate rows (url, host, key, depth).
+
+    Why: the wide page rows never travel through the object store — each
+    costs one parquet part write instead of a materialize + two downstream
+    write executions per wave. Part filenames are keyed by the batch's
+    minimum rank (deterministic for a given frontier layout), so a Ray task
+    retry overwrites the same file instead of duplicating rows, and the
+    wave-directory layout stays resumable (partial files beyond the last
+    _WAVE_OK marker are discarded on resume)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    full = fetch_extract_batch(
+        batch, corpus_ref=corpus_ref, robots_ref=robots_ref,
+        base_domain=base_domain, cfg_dict=cfg_dict, cfg_key=cfg_key,
+        max_depth=max_depth, wave=wave)
+    if full.num_rows == 0:
+        return pa.table({"url": pa.array([], pa.large_string()),
+                         "host": pa.array([], pa.string()),
+                         "key": pa.array([], pa.int64()),
+                         "depth": pa.array([], pa.int32())})
+    part = f"part-{min(full['rank'].to_pylist()):012d}.parquet"
+
+    pages_tbl = full.drop_columns(["_links", "_outlinks"])
+    os.makedirs(pages_dir, exist_ok=True)
+    pq.write_table(pages_tbl, os.path.join(pages_dir, part))
+
+    links_tbl = explode_links(full.select(["_links", "rank", "wave"]))
+    os.makedirs(links_dir, exist_ok=True)
+    pq.write_table(links_tbl, os.path.join(links_dir, part))
+
+    return explode_outlinks(full.select(["_outlinks", "depth"]))
+
+
 def explode_links(batch: pa.Table) -> pa.Table:
     """_links list<struct> -> one row per link record (+source rank/wave)."""
     col = batch["_links"].combine_chunks()

@@ -63,7 +63,7 @@ class _SeenCore:
             st["exact_keys"] = np.fromiter(self.exact_set, dtype=np.uint64,
                                            count=len(self.exact_set))
         tmp = path + ".tmp.npz"
-        np.savez_compressed(tmp, **st)
+        np.savez(tmp, **st)   # uncompressed: checkpoint latency > disk here
         os.replace(tmp, path)
 
     def restore(self, path: str) -> None:

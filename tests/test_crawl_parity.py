@@ -101,3 +101,24 @@ def test_duplication_parity(crawl_output, sim_result, ray_session):
     sim = set((x["url"], x["type"], x["category"], x["issue"], x["details"])
               for x in sim_result.dup_issues)
     assert eng == sim
+
+
+def test_compact_and_distributed_paths_identical(ray_session, tiny_corpus,
+                                                 tmp_path):
+    """The driver-side compact frontier path and the distributed
+    groupby+sort path must produce identical crawls."""
+    from seo_crawler_ray.pipelines.crawl import CrawlJob
+    from seo_crawler_ray.sources.cache import flagship_config
+
+    outs = {}
+    for name, threshold in (("compact", 10 ** 9), ("distributed", 0)):
+        cfg = flagship_config(seen_shards=2, politeness_shards=2,
+                              wave_compact_threshold=threshold)
+        out = str(tmp_path / name)
+        CrawlJob(tiny_corpus, out, cfg).run()
+        pages = pads.dataset(f"{out}/pages").to_table().sort_by("rank")
+        outs[name] = list(zip(pages["rank"].to_pylist(),
+                              pages["url"].to_pylist(),
+                              pages["depth"].to_pylist()))
+    assert outs["compact"] == outs["distributed"]
+    assert len(outs["compact"]) > 100
