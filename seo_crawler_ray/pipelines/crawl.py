@@ -143,6 +143,7 @@ class CrawlJob:
         seen = make_seen_shards(cfg.seen_shards, cfg.seen_capacity, cfg.seen_exact)
         politeness = make_politeness_shards(cfg.politeness_shards, cfg.delay)
         self._politeness = politeness
+        self._robots = robots
 
         start_wave = 0
         crawled_total = 0
@@ -305,8 +306,19 @@ class CrawlJob:
         # there is no per-worker state worth an actor pool)
         fresh = collapsed.map_batches(SeenFilter(seen), batch_format="pyarrow",
                                       num_cpus=0.25)
-        ordered = fresh.sort("key").limit(remaining) if remaining else fresh.limit(0)
+        if self.mode == "priority":
+            # MUST materialize before the priority ordering: its host-count
+            # pass would otherwise re-execute this lineage — and SeenFilter
+            # is side-effecting (the shards would mark every URL seen on the
+            # first pass and drop them all on the second)
+            fresh = fresh.materialize()
+            ordered_ds = self._priority_order_distributed(fresh)
+        else:
+            ordered_ds = fresh.sort("key")
+        ordered = ordered_ds.limit(remaining) if remaining else fresh.limit(0)
         mat = ordered.materialize()
+        if self.mode == "priority":
+            mat = mat.drop_columns(["deadline", "neg_priority"]).materialize()
 
         refs = mat.to_arrow_refs()
         counts = ray.get([_count_rows.remote(r) for r in refs])
@@ -323,6 +335,62 @@ class CrawlJob:
             for h, c in part.items():
                 host_counts[h] = host_counts.get(h, 0) + c
         return n_next, host_counts
+
+    def _priority_order_distributed(self, fresh):
+        """Priority scheduling order (mode='priority'): each URL gets a
+        politeness *deadline* — ``next_free[host] + i * crawl_delay`` for its
+        host's i-th fetch this wave — and a PageRank-ish priority
+        (1/(1+depth)); the wave is sorted by (deadline, -priority, key) so
+        slow (high-crawl-delay) hosts spread across the wave instead of
+        bunching, per SURVEY.md §4 T2.
+
+        Skew handling (north rule): hosts whose wave count exceeds
+        ``hot_host_threshold`` are salted into ``hot_host_salt`` sub-groups
+        by url hash before the groupby(host) shuffle, so one mega-host can't
+        serialize a single map_groups task. Within a salt bucket deadlines
+        stay per-host monotone; across buckets they interleave — an accepted
+        approximation for a scheduling *hint* (exact FIFO parity lives in
+        mode='parity')."""
+        import zlib as _zlib
+
+        counts = fresh.groupby("host").count().take_all()
+        hosts = [r["host"] for r in counts]
+        hot = {r["host"] for r in counts
+               if r["count()"] > self.config.hot_host_threshold}
+        per_shard: dict[int, list[str]] = {}
+        for h in hosts:
+            per_shard.setdefault(host_shard(h, len(self._politeness)), []).append(h)
+        bases: dict[str, float] = {}
+        for s, hs in per_shard.items():
+            bases.update(ray.get(self._politeness[s].get_bases.remote(hs)))
+        delays = {h: self._robots.crawl_delay(self.config.user_agent, h,
+                                              default=self.config.delay)
+                  for h in hosts}
+        info_ref = ray.put({"bases": bases, "delays": delays, "hot": hot,
+                            "salt": self.config.hot_host_salt})
+
+        def add_salt(batch: pa.Table, info=None) -> pa.Table:
+            info = ray.get(info_ref)
+            hot_set, salt = info["hot"], info["salt"]
+            salts = [(_zlib.crc32(u.encode()) % salt) if h in hot_set else 0
+                     for u, h in zip(batch["url"].to_pylist(),
+                                     batch["host"].to_pylist())]
+            return batch.append_column("_salt", pa.array(salts, pa.int32()))
+
+        def assign_deadlines(g, info=ray.get(info_ref)):
+            g = g.sort_values("key").reset_index(drop=True)
+            h = g["host"].iloc[0]
+            base = info["bases"].get(h, 0.0)
+            delay = info["delays"].get(h, self.config.delay) or self.config.delay
+            g["deadline"] = base + np.arange(len(g)) * delay
+            g["neg_priority"] = -1.0 / (1.0 + g["depth"].astype(float))
+            return g
+
+        salted = fresh.map_batches(add_salt, batch_format="pyarrow")
+        with_deadline = salted.groupby(["host", "_salt"]).map_groups(
+            assign_deadlines, batch_format="pandas")
+        return with_deadline.drop_columns(["_salt"]).sort(
+            ["deadline", "neg_priority", "key"])
 
     def _build_frontier_compact(self, candidates, seen, remaining: int,
                                 rank_offset: int, wave: int):
@@ -348,7 +416,31 @@ class CrawlJob:
         rows = sorted((k, u, h, d) for u, (k, h, d) in best.items())
         urls = [u for _, u, _, _ in rows]
         flags = register_urls(seen, urls)
-        survivors = [r for r, f in zip(rows, flags) if f][:remaining]
+        survivors = [r for r, f in zip(rows, flags) if f]
+        if self.mode == "priority" and survivors:
+            # exact per-host deadline schedule (driver-side: no salting
+            # approximation needed), then (deadline, -priority, key) order
+            hosts = sorted({h for _, _, h, _ in survivors})
+            per_shard: dict[int, list[str]] = {}
+            for h in hosts:
+                per_shard.setdefault(host_shard(h, len(self._politeness)),
+                                     []).append(h)
+            bases: dict[str, float] = {}
+            for s, hs in per_shard.items():
+                bases.update(ray.get(self._politeness[s].get_bases.remote(hs)))
+            idx: dict[str, int] = {}
+            decorated = []
+            for k, u, h, d in survivors:  # key order = fetch order per host
+                i = idx.get(h, 0)
+                idx[h] = i + 1
+                delay = self._robots.crawl_delay(
+                    self.config.user_agent, h, default=self.config.delay) \
+                    or self.config.delay
+                deadline = bases.get(h, 0.0) + i * delay
+                decorated.append((deadline, -1.0 / (1.0 + d), k, u, h, d))
+            decorated.sort()
+            survivors = [(k, u, h, d) for _, _, k, u, h, d in decorated]
+        survivors = survivors[:remaining]
         n_next = len(survivors)
         if n_next:
             out = pa.table({

@@ -54,6 +54,10 @@ class PolitenessShard:
             nf[h] = t + (d if d > 0 else self.default_delay)
         return out
 
+    def get_bases(self, hosts: list[str]) -> dict[str, float]:
+        """Current next-free time per host (priority-mode deadline bases)."""
+        return {h: self.next_free.get(h, 0.0) for h in hosts}
+
     def advance_counts(self, host_info: dict[str, tuple[int, float]]) -> None:
         """Closed-form wave advance: ``count`` fetches on ``host`` move its
         clock by ``count * delay`` — equivalent to ``count`` sequential

@@ -122,3 +122,34 @@ def test_compact_and_distributed_paths_identical(ray_session, tiny_corpus,
                               pages["depth"].to_pylist()))
     assert outs["compact"] == outs["distributed"]
     assert len(outs["compact"]) > 100
+
+
+def test_priority_mode_same_url_set(ray_session, tiny_corpus, tmp_path,
+                                    sim_result):
+    """mode='priority' reorders waves by (politeness deadline, priority) but
+    must visit exactly the same URL set as parity mode / the oracle."""
+    from seo_crawler_ray.pipelines.crawl import CrawlJob
+    from seo_crawler_ray.sources.cache import flagship_config
+
+    cfg = flagship_config(seen_shards=2, politeness_shards=2,
+                          hot_host_threshold=50)  # force salting on hot host
+    out = str(tmp_path / "prio")
+    CrawlJob(tiny_corpus, out, cfg, mode="priority").run()
+    pages = pads.dataset(f"{out}/pages").to_table()
+    assert set(pages["url"].to_pylist()) == sim_result.seen
+    depths = dict(zip(pages["url"].to_pylist(), pages["depth"].to_pylist()))
+    for _, u, d in sim_result.order:
+        assert depths[u] == d
+
+
+def test_priority_mode_distributed_path(ray_session, tiny_corpus, tmp_path,
+                                        sim_result):
+    from seo_crawler_ray.pipelines.crawl import CrawlJob
+    from seo_crawler_ray.sources.cache import flagship_config
+
+    cfg = flagship_config(seen_shards=2, politeness_shards=2,
+                          hot_host_threshold=50, wave_compact_threshold=0)
+    out = str(tmp_path / "prio_dist")
+    CrawlJob(tiny_corpus, out, cfg, mode="priority").run()
+    pages = pads.dataset(f"{out}/pages").to_table()
+    assert set(pages["url"].to_pylist()) == sim_result.seen
