@@ -49,6 +49,9 @@ class CrawlConfig:
         default_factory=lambda: list(DEFAULT_ISSUE_EXCLUSION_PATTERNS))
 
     # Ray engine knobs (no reference equivalent)
+    corpus_mode: str = "broadcast"  # "broadcast" (fits object store) or
+                                    # "bucketed" (hash(url)%B parquet buckets)
+    corpus_buckets: int = 64
     seen_shards: int = 8           # URL-seen actor shards; scale with cluster size
     seen_capacity: int = 1 << 20   # per-shard cuckoo capacity; 10^10-URL deployments size this up
     seen_exact: bool = True        # keep exact 64-bit spill set alongside the filter (parity mode)
@@ -63,3 +66,40 @@ class CrawlConfig:
     # distributed groupby+sort — the broadcast-join-threshold idea applied
     # to tiny waves, whose all-to-all fixed cost would dominate
     wave_compact_threshold: int = 2_000_000
+
+    def validate(self) -> list[str]:
+        """Range validation mirroring the reference's settings validator
+        (/root/reference/src/settings_manager.py:416-471). The crawl-size
+        cap is intentionally NOT enforced at the reference's 5M — this
+        engine is sized for 10^10-URL frontiers — but the reference bound is
+        reported as a warning-style entry so a user migrating configs sees
+        it. Returns a list of violation strings (empty = valid)."""
+        problems: list[str] = []
+
+        def rng(name, value, lo, hi):
+            if not isinstance(value, (int, float)) or value < lo or value > hi:
+                problems.append(f"{name}={value!r} outside [{lo}, {hi}]")
+
+        rng("max_depth", self.max_depth, 0, 1000)
+        rng("max_urls", self.max_urls, 1, 10 ** 12)
+        rng("delay", self.delay, 0, 60)          # crawlDelay 0..60
+        rng("duplication_threshold", self.duplication_threshold, 0.0, 1.0)
+        rng("seen_shards", self.seen_shards, 1, 65536)
+        rng("seen_capacity", self.seen_capacity, 1024, 1 << 40)
+        rng("extract_batch_size", self.extract_batch_size, 1, 1 << 20)
+        rng("politeness_shards", self.politeness_shards, 1, 65536)
+        rng("hot_host_salt", self.hot_host_salt, 1, 4096)
+        if not self.user_agent.strip():
+            problems.append("user_agent must be non-empty")
+        for name in ("include_extensions", "exclude_extensions",
+                     "include_patterns", "exclude_patterns",
+                     "issue_exclusion_patterns"):
+            if not isinstance(getattr(self, name), list):
+                problems.append(f"{name} must be a list")
+        import re as _re
+        for pat in (self.include_patterns + self.exclude_patterns):
+            try:
+                _re.compile(pat)
+            except _re.error as e:
+                problems.append(f"invalid regex {pat!r}: {e}")
+        return problems

@@ -115,6 +115,9 @@ class CrawlJob:
         self.seed_url_raw = seed_url
         self.metrics: list[dict] = []
         self._frontier_hint: int | None = None  # rows in the upcoming wave
+        problems = config.validate()
+        if problems:
+            raise ValueError("invalid CrawlConfig: " + "; ".join(problems))
 
     # -- layout -----------------------------------------------------------
     def _p(self, *parts: str) -> str:
@@ -134,11 +137,20 @@ class CrawlJob:
         self.base_domain = base_domain
 
         robots = RobotsIndex.from_parquet(os.path.join(self.corpus_dir, "robots.parquet"))
-        corpus_tbl = load_corpus_table(self.corpus_dir)
-        corpus_ref = ray.put(corpus_tbl)
+        if cfg.corpus_mode == "bucketed":
+            from ..sources.corpus_store import build_bucketed_store
+            store = build_bucketed_store(
+                self.corpus_dir, os.path.join(self.corpus_dir, "bucketed"),
+                cfg.corpus_buckets)
+            fetch_desc = ("bucketed", store, cfg.corpus_buckets)
+            n_corpus = pq.read_metadata(
+                os.path.join(self.corpus_dir, "pages.parquet")).num_rows
+        else:
+            corpus_tbl = load_corpus_table(self.corpus_dir)
+            fetch_desc = ("broadcast", ray.put(corpus_tbl))
+            n_corpus = corpus_tbl.num_rows
+            del corpus_tbl
         robots_ref = ray.put(robots)
-        n_corpus = corpus_tbl.num_rows
-        del corpus_tbl
 
         seen = make_seen_shards(cfg.seen_shards, cfg.seen_capacity, cfg.seen_exact)
         politeness = make_politeness_shards(cfg.politeness_shards, cfg.delay)
@@ -170,7 +182,7 @@ class CrawlJob:
             if not os.path.isdir(frontier_path) or not os.listdir(frontier_path):
                 break
             n_next, n_frontier = self._run_wave(
-                wave, frontier_path, corpus_ref, robots_ref, robots,
+                wave, frontier_path, fetch_desc, robots_ref, robots,
                 base_domain, max_depth, seen, politeness, crawled_total)
             crawled_total += n_frontier
             self._checkpoint(wave, seen, politeness, crawled_total)
@@ -213,7 +225,7 @@ class CrawlJob:
         return len(frontier)
 
     # -- one wave ---------------------------------------------------------
-    def _run_wave(self, wave: int, frontier_path: str, corpus_ref, robots_ref,
+    def _run_wave(self, wave: int, frontier_path: str, fetch_desc, robots_ref,
                   robots: RobotsIndex, base_domain: str, max_depth: int,
                   seen, politeness, crawled_total: int) -> tuple[int, int]:
         cfg = self.config
@@ -239,7 +251,7 @@ class CrawlJob:
         # tasks, emit only the narrow outlink candidates downstream
         candidates = frontier.map_batches(
             extract_and_sink_batch,
-            fn_kwargs=dict(corpus_ref=corpus_ref, robots_ref=robots_ref,
+            fn_kwargs=dict(fetch_desc=fetch_desc, robots_ref=robots_ref,
                            base_domain=base_domain, cfg_dict=self._cfg_dict(),
                            cfg_key=self._cfg_key(), max_depth=max_depth,
                            wave=wave,
@@ -487,6 +499,27 @@ class CrawlJob:
         meta["crawled_total"] = crawled_total
         with open(self._p(f"metrics_wave_{wave}.json"), "w") as f:
             json.dump(meta, f)
+        # per-wave lineage: inputs, outputs, config fingerprint — enough to
+        # audit or re-derive any partition (north rule: "per-partition
+        # lineage + metrics")
+        lineage = {
+            "wave": wave,
+            "corpus_dir": self.corpus_dir,
+            "config_md5": self._cfg_key(),
+            "mode": self.mode,
+            "seed_url": self.seed_url_raw,
+            "input_frontier": f"frontier/wave={wave}",
+            "outputs": {
+                "pages": f"pages/wave={wave}",
+                "links": f"links/wave={wave}",
+                "next_frontier": f"frontier/wave={wave + 1}",
+                "seen_shards": f"seen/wave={wave}",
+                "politeness": f"politeness/wave={wave}",
+            },
+            "metrics": meta,
+        }
+        with open(self._p(f"lineage_wave_{wave}.json"), "w") as f:
+            json.dump(lineage, f, indent=1)
         with open(self._marker(wave), "w") as f:
             f.write("ok")
 

@@ -113,12 +113,13 @@ class FetchExtract:
     is shared via the object store (``ray.put`` once; buffers map zero-copy
     into every worker)."""
 
-    def __init__(self, corpus_ref, robots_ref, base_domain: str, cfg_dict: dict):
-        corpus: pa.Table = ray.get(corpus_ref)           # zero-copy from plasma
-        self._index = {u: i for i, u in enumerate(corpus["url"].to_pylist())}
-        self._html = corpus["html"]
-        self._status = corpus["status_code"].to_pylist()
-        self._ct = corpus["content_type_header"].to_pylist()
+    def __init__(self, fetch_desc, robots_ref, base_domain: str, cfg_dict: dict):
+        from ..sources.corpus_store import BroadcastFetcher, BucketedFetcher
+        if fetch_desc[0] == "broadcast":
+            # zero-copy from plasma
+            self.fetcher = BroadcastFetcher(ray.get(fetch_desc[1]))
+        else:
+            self.fetcher = BucketedFetcher(fetch_desc[1], fetch_desc[2])
         robots = ray.get(robots_ref)
         self.base_domain = base_domain
         self.should_crawl = ShouldCrawl(
@@ -132,27 +133,26 @@ class FetchExtract:
         urls = batch["url"].to_pylist()
         depths = batch["depth"].to_pylist()
         ranks = batch["rank"].to_pylist()
+        fetched = self.fetcher.lookup(urls)   # batched: one bucket read per hit set
         rows = []
-        for url, depth, rank in zip(urls, depths, ranks):
-            rows.append(self._one(url, int(depth), int(rank), max_depth, wave))
+        for url, depth, rank, hit in zip(urls, depths, ranks, fetched):
+            rows.append(self._one(url, int(depth), int(rank), max_depth, wave, hit))
         cols = {name: [r[name] for r in rows] for name in PAGES_SCHEMA.names}
         arrays = [pa.array(cols[f.name], type=f.type) for f in PAGES_SCHEMA]
         return pa.Table.from_arrays(arrays, schema=PAGES_SCHEMA)
 
     def _one(self, url: str, depth: int, rank: int, max_depth: int,
-             wave: int) -> dict:
-        idx = self._index.get(url)
-        if idx is None:
+             wave: int, hit) -> dict:
+        if hit is None:
             # a live crawl would raise in requests -> create_empty_result
             # (crawler.py:916-918)
             result = empty_result(url, depth, 0, "fetch failed: not in corpus")
             link_records, outlinks = [], []
         else:
-            html = self._html[idx].as_py()
+            html, status, ct = hit
             internal = is_internal(url, self.base_domain)
             result, link_records, outlinks = extract_page(
-                html, url, depth, self.base_domain,
-                self._status[idx], self._ct[idx], internal)
+                html, url, depth, self.base_domain, status, ct, internal)
             result["error"] = None
 
         row = dict(result)
@@ -190,19 +190,23 @@ class FetchExtract:
 _CTX_CACHE: dict[tuple, FetchExtract] = {}
 
 
-def fetch_extract_batch(batch: pa.Table, *, corpus_ref, robots_ref,
+def _desc_key(fetch_desc) -> str:
+    return fetch_desc[1].hex() if fetch_desc[0] == "broadcast" else str(fetch_desc[1])
+
+
+def fetch_extract_batch(batch: pa.Table, *, fetch_desc, robots_ref,
                         base_domain: str, cfg_dict: dict, cfg_key: str,
                         max_depth: int, wave: int) -> pa.Table:
-    key = (corpus_ref.hex(), robots_ref.hex(), base_domain, cfg_key)
+    key = (_desc_key(fetch_desc), robots_ref.hex(), base_domain, cfg_key)
     ctx = _CTX_CACHE.get(key)
     if ctx is None:
-        ctx = FetchExtract(corpus_ref, robots_ref, base_domain, cfg_dict)
+        ctx = FetchExtract(fetch_desc, robots_ref, base_domain, cfg_dict)
         _CTX_CACHE.clear()   # one corpus context per worker is plenty
         _CTX_CACHE[key] = ctx
     return ctx.extract_batch(batch, max_depth, wave)
 
 
-def extract_and_sink_batch(batch: pa.Table, *, corpus_ref, robots_ref,
+def extract_and_sink_batch(batch: pa.Table, *, fetch_desc, robots_ref,
                            base_domain: str, cfg_dict: dict, cfg_key: str,
                            max_depth: int, wave: int, pages_dir: str,
                            links_dir: str) -> pa.Table:
@@ -222,7 +226,7 @@ def extract_and_sink_batch(batch: pa.Table, *, corpus_ref, robots_ref,
     import pyarrow.parquet as pq
 
     full = fetch_extract_batch(
-        batch, corpus_ref=corpus_ref, robots_ref=robots_ref,
+        batch, fetch_desc=fetch_desc, robots_ref=robots_ref,
         base_domain=base_domain, cfg_dict=cfg_dict, cfg_key=cfg_key,
         max_depth=max_depth, wave=wave)
     if full.num_rows == 0:

@@ -153,3 +153,59 @@ def test_priority_mode_distributed_path(ray_session, tiny_corpus, tmp_path,
     CrawlJob(tiny_corpus, out, cfg, mode="priority").run()
     pages = pads.dataset(f"{out}/pages").to_table()
     assert set(pages["url"].to_pylist()) == sim_result.seen
+
+
+def test_bucketed_corpus_mode_identical(ray_session, tiny_corpus, tmp_path):
+    """corpus_mode='bucketed' (hash-bucket parquet fetch) must produce the
+    same crawl as the broadcast object-store fetch."""
+    from seo_crawler_ray.pipelines.crawl import CrawlJob
+    from seo_crawler_ray.sources.cache import flagship_config
+
+    outs = {}
+    for mode in ("broadcast", "bucketed"):
+        cfg = flagship_config(seen_shards=2, politeness_shards=2,
+                              corpus_mode=mode, corpus_buckets=16)
+        out = str(tmp_path / mode)
+        CrawlJob(tiny_corpus, out, cfg).run()
+        pages = pads.dataset(f"{out}/pages").to_table().sort_by("rank")
+        outs[mode] = list(zip(pages["rank"].to_pylist(),
+                              pages["url"].to_pylist()))
+    assert outs["broadcast"] == outs["bucketed"]
+
+
+def test_caps_max_urls_and_depth(ray_session, tiny_corpus, tmp_path,
+                                 sim_result):
+    """max_urls stops the crawl at exactly N in FIFO order (an order
+    prefix of the unlimited oracle); max_depth bounds expansion."""
+    from seo_crawler_ray.pipelines.crawl import CrawlJob
+    from seo_crawler_ray.sources.cache import flagship_config
+
+    cfg = flagship_config(max_urls=50, seen_shards=2, politeness_shards=2)
+    out = str(tmp_path / "capped")
+    CrawlJob(tiny_corpus, out, cfg).run()
+    pages = pads.dataset(f"{out}/pages").to_table().sort_by("rank")
+    assert pages.num_rows == 50
+    prefix = [u for _, u, _ in sim_result.order[:50]]
+    assert pages["url"].to_pylist() == prefix
+
+    cfg2 = flagship_config(max_depth=1, seen_shards=2, politeness_shards=2)
+    out2 = str(tmp_path / "depth1")
+    CrawlJob(tiny_corpus, out2, cfg2).run()
+    pages2 = pads.dataset(f"{out2}/pages").to_table()
+    assert max(pages2["depth"].to_pylist()) <= 1
+
+
+def test_config_validation_rejects_bad():
+    import pytest as _pytest
+    from seo_crawler_ray.config import CrawlConfig
+    from seo_crawler_ray.pipelines.crawl import CrawlJob
+
+    bad = CrawlConfig(delay=-3)
+    assert any("delay" in p for p in bad.validate())
+    bad2 = CrawlConfig(user_agent="   ")
+    assert bad2.validate()
+    bad3 = CrawlConfig(exclude_patterns=["[unclosed"])
+    assert any("invalid regex" in p for p in bad3.validate())
+    assert CrawlConfig().validate() == []
+    with _pytest.raises(ValueError):
+        CrawlJob("/nonexistent", "/tmp/x", CrawlConfig(delay=-1), seed_url="x.com")

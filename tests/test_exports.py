@@ -1,0 +1,95 @@
+"""Export operator units (reference semantics from main.py:264-477)."""
+import pandas as pd
+import pyarrow as pa
+
+from seo_crawler_ray.pipelines.exports import (
+    filter_issues_for_display, issues_by_url, links_csv_rows, pages_csv_rows,
+    select_pages_for_pagespeed, viz_graph, xml_export)
+
+
+def test_pages_csv_summarization():
+    batch = pa.table({
+        "url": ["https://a.com/x"],
+        "analytics": [{"gtag": True, "ga4_id": "G-X", "google_analytics": True,
+                       "gtm_id": "", "facebook_pixel": True, "hotjar": False,
+                       "mixpanel": False}],
+        "og_tags": [[("title", "t"), ("type", "a")]],
+        "json_ld": ['[{"a":1},{"b":2}]'],
+        "images": [[{"src": "s", "alt": ""}]],
+        "internal_links": [0],
+        "external_links": [7],
+        "h2": [["a", "b", "c", "d", "e"]],
+    })
+    out = pages_csv_rows(batch, fields=["url", "analytics", "og_tags",
+                                        "json_ld", "images", "internal_links",
+                                        "external_links", "h2"]).to_pylist()[0]
+    assert out["analytics"] == "GA4, GA, FB"
+    assert out["og_tags"] == "2 tags"
+    assert out["json_ld"] == "2 scripts"
+    assert out["images"] == "1 images"
+    assert out["internal_links"] == "0 internal links"
+    assert out["external_links"] == "7 external links"
+    assert out["h2"] == "a, b, c..."
+
+
+def test_links_csv_rows():
+    batch = pa.table({
+        "source_url": ["s"], "target_url": ["t"], "anchor_text": ["a"],
+        "is_internal": [True], "target_domain": ["d"],
+        "target_status": pa.array([None], pa.int32()), "placement": ["body"],
+    })
+    row = links_csv_rows(batch).to_pylist()[0]
+    assert row["is_internal"] == "Yes" and row["target_status"] == "Not crawled"
+
+
+def test_issue_display_filter_skips_comments_and_blanks():
+    df = pd.DataFrame({
+        "url": ["https://a.com/wp-admin/x", "https://a.com/keep"],
+        "type": ["error"] * 2, "category": ["SEO"] * 2,
+        "issue": ["i"] * 2, "details": ["d"] * 2,
+    })
+    out = filter_issues_for_display(df, ["# comment", "   ", "/wp-admin/*"])
+    assert out["url"].tolist() == ["https://a.com/keep"]
+
+
+def test_issues_by_url_grouping():
+    df = pd.DataFrame({"url": ["u1", "u1", "u2"], "type": ["a", "b", "c"],
+                       "category": ["x"] * 3, "issue": ["i"] * 3,
+                       "details": ["d"] * 3})
+    g = issues_by_url(df)
+    assert len(g["u1"]) == 2 and len(g["u2"]) == 1
+
+
+def test_xml_export_shape():
+    s = xml_export([{"url": "https://a.com", "title": "T & Co"}],
+                   ["url", "title"], "2026-01-01 00:00:00")
+    assert "<librecrawl_export" in s and "<title>T &amp; Co</title>" in s
+    assert 'total_urls="1"' in s
+
+
+def test_pagespeed_selection_semantics():
+    df = pd.DataFrame({
+        "url": ["https://a.com/deep/x.html", "https://a.com/cat1",
+                "https://a.com/", "https://a.com/cat2", "https://a.com/cat3"],
+        "rank": [0, 1, 2, 3, 4],
+        "status_code": [200] * 5,
+        "is_internal": [True] * 5,
+    })
+    sel = select_pages_for_pagespeed(df)
+    # exact root wins (break), then first 2 single-segment pages != homepage
+    assert sel == ["https://a.com/", "https://a.com/cat1", "https://a.com/cat2"]
+
+
+def test_viz_graph_dedup_and_selfloops():
+    pages = pd.DataFrame({"url": ["u1", "u2"], "rank": [0, 1],
+                          "status_code": [200, 404]})
+    links = pd.DataFrame({
+        "source_url": ["u1", "u1", "u2", "u1"],
+        "target_url": ["u2", "u2", "u2", "u3"],
+        "is_internal": [True, True, True, True],
+    })
+    nodes, edges = viz_graph(pages, links)
+    assert nodes["color"].tolist() == ["#10b981", "#f59e0b"]
+    assert nodes["size"].tolist() == [30, 20]
+    # u1->u2 deduped; u2->u2 self loop dropped; u3 not a node
+    assert len(edges) == 1
