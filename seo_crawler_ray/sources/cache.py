@@ -24,9 +24,10 @@ import pyarrow.parquet as pq
 from ..config import CrawlConfig
 from .corpus import generate_corpus
 
-GEN_VERSION = "r1-09"
+GEN_VERSION = "r1-10"
 CACHE_ROOT = "/tmp/seo_ray_cache"
-EXPECTED_MAX_PAGES = 2500   # oracle sim runs only at small scale
+EXPECTED_MAX_PAGES = 12_000  # oracle sim runs at test/correctness
+                             # scales (sf<=0.02); bench scale skips it
 DUP_SUBSET = 300            # parity-sized O(n^2) duplication window
 
 FLAGSHIP = dict(max_depth=12, max_urls=10 ** 9, crawl_external=True)
