@@ -189,7 +189,9 @@ def q_eeat_scores(sf_dir: str):
 # ----------------------------------------------- pure-extraction queries --
 class ExtractAll:
     """Extraction over EVERY corpus html page (no crawl gating); checked
-    against the generator-IR ground truth (gen_truth.parquet)."""
+    against the generator-IR ground truth (gen_truth.parquet). Used as a
+    task UDF with a per-worker cache (same reasoning as the crawl's extract
+    stage: warm workers beat per-execution actor-pool spin-up)."""
 
     def __init__(self, meta_ref, base_domain: str):
         self.meta = ray.get(meta_ref)
@@ -234,6 +236,9 @@ class ExtractAll:
         return pa.table({k: [r[k] for r in rows] for k in rows[0]})
 
 
+_EXTRACT_ALL_CACHE: dict[str, 'ExtractAll'] = {}
+
+
 def q_extract_pages(sf_dir: str):
     cdir = _corpus(sf_dir)
     import pyarrow.parquet as pq
@@ -245,11 +250,26 @@ def q_extract_pages(sf_dir: str):
             meta["content_type_header"].to_pylist()))))
     with open(os.path.join(cdir, "corpus_meta.json")) as f:
         base_domain = json.load(f)["base_domain"]
-    ds = ray.data.read_parquet(os.path.join(cdir, "pages.parquet"),
-                               columns=["url", "html"])
-    return ds.map_batches(ExtractAll, fn_constructor_args=(meta_ref, base_domain),
-                          batch_format="pyarrow", batch_size=128,
-                          concurrency=(1, 8))
+    try:
+        n_cpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n_cpu = 8
+    n_rows = pq.read_metadata(os.path.join(cdir, "pages.parquet")).num_rows
+    ds = ray.data.read_parquet(
+        os.path.join(cdir, "pages.parquet"), columns=["url", "html"],
+        override_num_blocks=max(1, min(n_cpu * 2, n_rows // 128 + 1)))
+
+    def run_extract(batch: pa.Table) -> pa.Table:
+        key = meta_ref.hex()
+        ctx = _EXTRACT_ALL_CACHE.get(key)
+        if ctx is None:
+            ctx = ExtractAll(meta_ref, base_domain)
+            _EXTRACT_ALL_CACHE.clear()
+            _EXTRACT_ALL_CACHE[key] = ctx
+        return ctx(batch)
+
+    return ds.map_batches(run_extract, batch_format="pyarrow",
+                          batch_size=None, num_cpus=1)
 
 
 def q_canonicalize(sf_dir: str):
