@@ -341,6 +341,61 @@ def q_resume_rebuild(sf_dir: str):
     return rebuild_frontier_from_links(_pages_ds(sf_dir), _links_ds(sf_dir))
 
 
+def q_sitemap_expansion(sf_dir: str):
+    """S4: seed sitemap discovery (well-known probes + robots declarations +
+    recursive index walk + gunzip) — checked against the generator's
+    construction-order truth."""
+    from ..sources.sitemaps import discover_sitemap_urls, load_sitemap_bodies
+    from ..state.robots import RobotsIndex
+    cdir = _corpus(sf_dir)
+    robots = RobotsIndex.from_parquet(os.path.join(cdir, "robots.parquet"))
+    bodies = load_sitemap_bodies(os.path.join(cdir, "sitemaps.parquet"))
+    with open(os.path.join(cdir, "corpus_meta.json")) as f:
+        seed = json.load(f)["seed_url"]
+    from ..functions.urls import normalize_seed
+    seed_url, _, _, _ = normalize_seed(seed)
+    urls = discover_sitemap_urls(seed_url, bodies, robots)
+    return pd.DataFrame({"pos": range(len(urls)), "url": urls})
+
+
+def q_pages_since_wave2(sf_dir: str):
+    """§2.9 since-cursor read = partition pruning on the wave id: only the
+    wave>=2 parquet partitions are opened (BFS makes wave == depth)."""
+    import glob
+    d = os.path.join(crawl_dir(sf_dir), "pages")
+    files = [f for p in glob.glob(os.path.join(d, "wave=*"))
+             if int(p.rsplit("=", 1)[1]) >= 2
+             for f in glob.glob(os.path.join(p, "*.parquet"))]
+    if not files:
+        return pd.DataFrame({"url": [], "depth": [], "seq": []})
+    ds = ray.data.read_parquet(files)
+    pdf = ds.select_columns(["url", "depth", "rank"]).to_pandas()
+    pdf["seq"] = pdf["rank"] + 1
+    return pdf[["url", "depth", "seq"]]
+
+
+def q_eeat_summary(sf_dir: str):
+    """A6 aggregate half of the E-E-A-T plugin (e-e-a-t.js:302-380):
+    corpus-level score mean + per-signal counts."""
+    scores = analysis.eeat_scores(_pages_ds(sf_dir))
+    pdf = _pages_ds(sf_dir).map_batches(
+        _project_pages, batch_format="pyarrow").to_pandas()
+    n = len(pdf)
+    # JS Math.round is half-UP (e-e-a-t.js:372) — floor(x+0.5), not banker's
+    overall = int(np.floor(scores["score"].sum() / n + 0.5)) if n else 0
+    return pd.DataFrame({
+        "total_pages": [n],
+        "overall_score": [overall],
+        "pages_with_author": [int(((pdf["author"] != "") | (pdf["og_author"] != "")).sum())],
+        "pages_with_schema": [int((pdf["json_ld_count"] > 0).sum())],
+        "pages_with_external_links": [int((pdf["external_links"] > 0).sum())],
+        "pages_with_og": [int((pdf["og_title"] != "").sum())],
+        "secure_pages": [int(pdf["url"].str.startswith("https://").sum())],
+        "pages_with_good_content": [int((pdf["word_count"] >= 300).sum())],
+        "external_citations": [int(pdf["external_links"].sum())],
+    })
+
+
 # --------------------------------------------- training-data operators ----
 def q_dedup_exact(sf_dir: str):
     return textops.dedup_exact(_docs_ds(sf_dir))
@@ -451,6 +506,9 @@ def queries() -> dict:
         "pagespeed_selection": q_pagespeed_selection,
         "viz_edges": q_viz_edges,
         "resume_rebuild": q_resume_rebuild,
+        "sitemap_expansion": q_sitemap_expansion,
+        "pages_since_wave2": q_pages_since_wave2,
+        "eeat_summary": q_eeat_summary,
         # training-data operators (vs live SQL over the driver views)
         "dedup_exact": q_dedup_exact,
         "minhash_near_dups": q_minhash_near_dups,
@@ -713,6 +771,43 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             SELECT DISTINCT target_url FROM read_parquet('{exp_links}')
             WHERE is_internal AND target_url NOT IN
                   (SELECT url FROM read_parquet('{exp_pages}'))""",
+        "sitemap_expansion": (
+            "SELECT pos, url FROM "
+            f"read_parquet('{_cp('expected_sitemap_urls.parquet')}')"),
+        "pages_since_wave2": f"""
+            SELECT url, depth, seq FROM read_parquet('{exp_pages}')
+            WHERE depth >= 2""",
+        "eeat_summary": f"""
+            WITH s AS (
+              SELECT url, author, og_author, json_ld_count, external_links,
+                     og_title, word_count,
+                     LEAST(100,
+                       (CASE WHEN url LIKE 'https://%' THEN 10 ELSE 0 END)
+                     + (CASE WHEN author <> '' OR og_author <> '' THEN 20 ELSE 0 END)
+                     + (CASE WHEN json_ld_count > 0 THEN 25 ELSE 0 END)
+                     + (CASE WHEN external_links > 0
+                             THEN LEAST(15, external_links * 3) ELSE 0 END)
+                     + (CASE WHEN og_title <> '' THEN 10 ELSE 0 END)
+                     + (CASE WHEN word_count >= 300 THEN 20
+                             WHEN word_count >= 150 THEN 10 ELSE 0 END)) AS score
+              FROM read_parquet('{exp_pages}'))
+            SELECT count(*) AS total_pages,
+                   CAST(floor(CAST(sum(score) AS DOUBLE) / count(*) + 0.5)
+                        AS BIGINT) AS overall_score,
+                   CAST(sum(CASE WHEN author <> '' OR og_author <> ''
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pages_with_author,
+                   CAST(sum(CASE WHEN json_ld_count > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pages_with_schema,
+                   CAST(sum(CASE WHEN external_links > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pages_with_external_links,
+                   CAST(sum(CASE WHEN og_title <> '' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pages_with_og,
+                   CAST(sum(CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS secure_pages,
+                   CAST(sum(CASE WHEN word_count >= 300 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pages_with_good_content,
+                   CAST(sum(external_links) AS BIGINT) AS external_citations
+            FROM s""",
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)""",

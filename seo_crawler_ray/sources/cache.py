@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 from ..config import CrawlConfig
 from .corpus import generate_corpus
 
-GEN_VERSION = "r1-10"
+GEN_VERSION = "r1-11"
 CACHE_ROOT = "/tmp/seo_ray_cache"
 EXPECTED_MAX_PAGES = 12_000  # oracle sim runs at test/correctness
                              # scales (sf<=0.02); bench scale skips it

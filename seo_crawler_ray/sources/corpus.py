@@ -669,12 +669,18 @@ def _sitemap_rows(ir: dict) -> list[dict]:
         + f"  <sitemap><loc>https://{HOT_HOST}/sm/b.xml.gz</loc></sitemap>\n".encode()
         + b"</sitemapindex>\n")
 
-    return [
+    rows = [
         {"url": f"https://{HOT_HOST}/sitemap.xml", "xml": urlset(main_urls)},
         {"url": f"https://{HOT_HOST}/sitemap_index.xml", "xml": index_xml},
         {"url": f"https://{HOT_HOST}/sm/a.xml", "xml": urlset(a_urls)},
         {"url": f"https://{HOT_HOST}/sm/b.xml.gz", "xml": gzip.compress(urlset(b_urls))},
     ]
+    # generator-side truth for the discovery ORDER (sitemap_parser.py:26-47):
+    # probe /sitemap.xml (main), /sitemap_index.xml (a then b via the index),
+    # two misses, then the robots-declared /sitemap.xml AGAIN (duplicates, the
+    # reference does not dedup the returned list — add_url does)
+    expected_order = main_urls + a_urls + b_urls + main_urls
+    return rows, expected_order
 
 
 def generate_corpus(out_dir: str, n_pages: int, seed: int = 42) -> None:
@@ -756,11 +762,14 @@ def generate_corpus(out_dir: str, n_pages: int, seed: int = 42) -> None:
     pq.write_table(
         pa.table({k: [r[k] for r in robots] for k in ("host", "robots_txt", "crawl_delay")}),
         os.path.join(out_dir, "robots.parquet"))
-    sitemaps = _sitemap_rows(ir)
+    sitemaps, expected_sm = _sitemap_rows(ir)
     pq.write_table(
         pa.table({"url": [r["url"] for r in sitemaps],
                   "xml": pa.array([r["xml"] for r in sitemaps], pa.large_binary())}),
         os.path.join(out_dir, "sitemaps.parquet"))
+    pq.write_table(
+        pa.table({"pos": list(range(len(expected_sm))), "url": expected_sm}),
+        os.path.join(out_dir, "expected_sitemap_urls.parquet"))
     pq.write_table(pa.table({"url": [SEED_URL_RAW], "priority": [1.0]}),
                    os.path.join(out_dir, "seeds.parquet"))
 

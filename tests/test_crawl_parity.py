@@ -209,3 +209,22 @@ def test_config_validation_rejects_bad():
     assert CrawlConfig().validate() == []
     with _pytest.raises(ValueError):
         CrawlJob("/nonexistent", "/tmp/x", CrawlConfig(delay=-1), seed_url="x.com")
+
+
+def test_seed_with_path_forces_single_page(ray_session, tiny_corpus, tmp_path):
+    """A seed URL with a non-root path forces max_depth=0 (crawler.py:218-222):
+    the crawl fetches exactly that page (plus nothing else)."""
+    import pyarrow.parquet as pq
+    from seo_crawler_ray.pipelines.crawl import CrawlJob
+    from seo_crawler_ray.sources.cache import flagship_config
+
+    meta = pq.read_table(f"{tiny_corpus}/meta.parquet").to_pylist()
+    target = next(m["url"] for m in meta
+                  if m["kind"] == "page" and m["host"] == "www.hot-site.example")
+    cfg = flagship_config(seen_shards=2, politeness_shards=2,
+                          discover_sitemaps=False)
+    out = str(tmp_path / "single")
+    CrawlJob(tiny_corpus, out, cfg, seed_url=target).run()
+    pages = pads.dataset(f"{out}/pages").to_table()
+    assert pages.num_rows == 1
+    assert pages["url"].to_pylist() == [target]

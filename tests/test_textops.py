@@ -142,3 +142,17 @@ def test_multimodal_stub_gating(ray_session):
     stub = DecodeStub(fake=True, feature_dim=8)
     out = stub(pa.table({"url": ["u1"], "html": [b"payload"]}))
     assert len(out["feature"][0].as_py()) == 8
+
+
+def test_langid_runs_on_documents(ray_session):
+    """The documents table's ``lang`` labels are synthetic (the text is
+    English word-soup for every label), so accuracy against them is
+    meaningless — this only asserts the operator runs over the real table
+    and emits one prediction per doc. Heuristic correctness is covered by
+    test_langid_heuristic on genuinely multilingual text."""
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import langid_batch
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = docs.map_batches(langid_batch, batch_format="pyarrow").to_pandas()
+    assert len(pred) == docs.count()
+    assert set(pred["pred_lang"]) <= {"en", "de", "fr", "es", "zh"}
