@@ -51,6 +51,52 @@ def tumbling_window(events_ds) -> pd.DataFrame:
     return pdf.sort_values(["event_type", "window_id"]).reset_index(drop=True)
 
 
+def sliding_window(events_ds, size_sec: int = WINDOW_SEC,
+                   slide_sec: int = 900) -> pd.DataFrame:
+    """Sliding windows (1h length, 15min slide): each event belongs to
+    ``size/slide`` windows, exploded per batch then pre-aggregated — the
+    same partial-aggregation shape as the tumbling case, with a
+    ``size/slide``-x row amplification bounded per batch."""
+    k = size_sec // slide_sec
+
+    def partials(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
+        base = np.asarray(epoch.to_pylist(), dtype=np.int64) // slide_sec
+        cents = np.round(np.asarray(batch["value"].to_pylist()) * 100).astype(np.int64)
+        types = batch["event_type"].to_pandas()
+        frames = []
+        for i in range(k):
+            frames.append(pd.DataFrame({
+                "event_type": types, "window_id": base - i, "cents": cents}))
+        df = pd.concat(frames, ignore_index=True)
+        g = df.groupby(["event_type", "window_id"], sort=False).agg(
+            part_n=("cents", "size"), part_sum=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = events_ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby(["event_type", "window_id"]).aggregate(
+            Sum("part_n", alias_name="n"), Sum("part_sum", alias_name="sum_cents"))
+    pdf = out.to_pandas()
+    pdf["n"] = pdf["n"].astype("int64")
+    pdf["sum_cents"] = pdf["sum_cents"].astype("int64")
+    return pdf.sort_values(["event_type", "window_id"]).reset_index(drop=True)
+
+
+def top_events_per_user(events_ds, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k: highest-value events per user (value desc, event_id
+    asc tie-break — deterministic, matches the SQL QUALIFY oracle)."""
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["rank_in_user"] = range(1, len(g) + 1)
+        return g[["user_id", "event_id", "rank_in_user"]]
+
+    out = events_ds.select_columns(["user_id", "event_id", "value"]) \
+        .groupby("user_id").map_groups(topk, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "rank_in_user"]).reset_index(drop=True)
+
+
 def sessionize(events_ds, gap_sec: int = SESSION_GAP_SEC) -> pd.DataFrame:
     """Per-user session count with a ``gap_sec`` inactivity boundary."""
 

@@ -447,6 +447,52 @@ def q_events_tumbling(sf_dir: str):
     return events.tumbling_window(_events_ds(sf_dir))
 
 
+def q_events_sliding(sf_dir: str):
+    return events.sliding_window(_events_ds(sf_dir))
+
+
+def q_top_events_per_user(sf_dir: str):
+    return events.top_events_per_user(_events_ds(sf_dir))
+
+
+def q_distinct_event_types(sf_dir: str):
+    vals = sorted(_events_ds(sf_dir).unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+def q_orders_by_nation(sf_dir: str):
+    """Multi-way dimension join: orders x customer x nation, grouped by
+    nation name. The dimension side (customer->nation name) is broadcast
+    once; the fact table streams."""
+    from ray.data.aggregate import Count, Sum
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    name_col = "n_name" if "n_name" in nation.columns else nation.columns[1]
+    key_col = "n_nationkey" if "n_nationkey" in nation.columns else nation.columns[0]
+    cust = cust.merge(nation[[key_col, name_col]], left_on="c_nationkey",
+                      right_on=key_col)
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust[name_col])))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(k, "") for k in batch["o_custkey"].to_pylist()]
+        cents = pa.compute.round(pa.compute.multiply(batch["o_totalprice"], 100))
+        cents = cents.combine_chunks() if isinstance(cents, pa.ChunkedArray) else cents
+        return pa.table({"nation": pa.array(names),
+                         "cents": cents.cast(pa.int64())})
+
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_totalprice"])
+    agg = orders.map_batches(attach, batch_format="pyarrow") \
+        .groupby("nation").aggregate(Sum("cents", alias_name="total_cents"),
+                                     Count(alias_name="order_cnt"))
+    pdf = agg.to_pandas()
+    pdf["total_cents"] = pdf["total_cents"].astype("int64")
+    pdf["order_cnt"] = pdf["order_cnt"].astype("int64")
+    return pdf.sort_values("nation").reset_index(drop=True)
+
+
 def q_sessionize(sf_dir: str):
     return events.sessionize(_events_ds(sf_dir))
 
@@ -521,9 +567,13 @@ def queries() -> dict:
         "token_counts": q_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
         "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "top_events_per_user": q_top_events_per_user,
+        "distinct_event_types": q_distinct_event_types,
         "sessionize": q_sessionize,
         "event_type_stats": q_event_type_stats,
         "top_customers": q_top_customers,
+        "orders_by_nation": q_orders_by_nation,
     }
 
 
@@ -873,6 +923,33 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                    count(*) AS n,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY event_type, (epoch_us(ts) // 1000000) // 3600""",
+        "events_sliding": """
+            WITH exploded AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 1000000) // 900 - k.k AS window_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+              CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+            SELECT event_type, window_id, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM exploded GROUP BY event_type, window_id""",
+        "top_events_per_user": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY value DESC, event_id) AS BIGINT) AS rank_in_user
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id) <= 3""",
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "orders_by_nation": """
+            SELECT n.n_name AS nation,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents,
+                   count(*) AS order_cnt
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
         "sessionize": """
             WITH g AS (
               SELECT user_id, ts,

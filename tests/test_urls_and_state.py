@@ -168,3 +168,30 @@ def test_content_similarity_weights():
     assert content_similarity(a, dict(a)) == pytest.approx(1.0)
     b = dict(a, word_count=50)
     assert content_similarity(a, b) == pytest.approx(0.95)  # 0.35+0.35+0.20+0.05
+
+
+def test_politeness_clock_math():
+    """advance_counts == count sequential token-bucket acquisitions
+    (rate_limiter.py:24-38 semantics, without sleeping)."""
+    from seo_crawler_ray.state.politeness import PolitenessShard
+    shard = PolitenessShard.__ray_metadata__.modified_class(0, default_delay=1.0)
+    shard.advance_counts({"a.com": (5, 2.0), "b.com": (3, 0.0)})
+    # b.com delay 0 -> default 1.0
+    assert shard.next_free == {"a.com": 10.0, "b.com": 3.0}
+    shard.advance_counts({"a.com": (1, 2.0)})
+    assert shard.next_free["a.com"] == 12.0
+    assert shard.makespan() == 12.0
+    bases = shard.get_bases(["a.com", "missing.com"])
+    assert bases == {"a.com": 12.0, "missing.com": 0.0}
+
+
+def test_politeness_checkpoint_roundtrip(tmp_path):
+    from seo_crawler_ray.state.politeness import PolitenessShard
+    cls = PolitenessShard.__ray_metadata__.modified_class
+    s = cls(0, default_delay=1.0)
+    s.advance_counts({"x.com": (4, 1.5)})
+    p = str(tmp_path / "pol.parquet")
+    s.checkpoint(p)
+    s2 = cls(0, default_delay=1.0)
+    s2.restore(p)
+    assert s2.next_free == {"x.com": 6.0}
