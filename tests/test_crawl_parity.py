@@ -228,3 +228,23 @@ def test_seed_with_path_forces_single_page(ray_session, tiny_corpus, tmp_path):
     pages = pads.dataset(f"{out}/pages").to_table()
     assert pages.num_rows == 1
     assert pages["url"].to_pylist() == [target]
+
+
+def test_approx_seen_mode_close_to_exact(ray_session, tiny_corpus, tmp_path,
+                                         sim_result):
+    """seen_exact=False (cuckoo-filter-only membership — the 10^10-scale
+    mode) may drop a URL on a false positive, never crawl one twice; at the
+    filter's FP rate the crawl should be near-identical to exact mode."""
+    from seo_crawler_ray.pipelines.crawl import CrawlJob
+    from seo_crawler_ray.sources.cache import flagship_config
+
+    cfg = flagship_config(seen_shards=2, politeness_shards=2, seen_exact=False)
+    out = str(tmp_path / "approx")
+    CrawlJob(tiny_corpus, out, cfg).run()
+    pages = pads.dataset(f"{out}/pages").to_table()
+    urls = pages["url"].to_pylist()
+    assert len(urls) == len(set(urls))           # never twice
+    extra = set(urls) - sim_result.seen
+    missing = sim_result.seen - set(urls)
+    assert not extra                             # FP can only DROP urls
+    assert len(missing) <= max(2, len(sim_result.seen) // 100)
