@@ -140,6 +140,20 @@ def issues_by_url(issues_df: pd.DataFrame) -> dict:
     return grouped
 
 
+def json_export(rows: list[dict], fields: list[str], export_date: str) -> str:
+    """S11 (main.py:321-341): field-filtered rows + envelope. The reference
+    stamps ``time.strftime`` at export time; the timestamp is injected here
+    so exports stay deterministic and testable."""
+    import json as _json
+    filtered = [{f: r.get(f, "") for f in fields} for r in rows]
+    return _json.dumps({
+        "export_date": export_date,
+        "total_urls": len(filtered),
+        "fields": fields,
+        "data": filtered,
+    }, indent=2, default=str)
+
+
 def xml_export(rows: list[dict], fields: list[str], export_date: str) -> str:
     """S12 flat XML (main.py:344-358); export_date injected for determinism."""
     import xml.etree.ElementTree as ET

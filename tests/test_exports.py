@@ -93,3 +93,13 @@ def test_viz_graph_dedup_and_selfloops():
     assert nodes["size"].tolist() == [30, 20]
     # u1->u2 deduped; u2->u2 self loop dropped; u3 not a node
     assert len(edges) == 1
+
+
+def test_json_export_envelope():
+    from seo_crawler_ray.pipelines.exports import json_export
+    import json
+    s = json_export([{"url": "u", "title": "t", "extra": 1}], ["url", "title"],
+                    "2026-01-01 00:00:00")
+    d = json.loads(s)
+    assert d["total_urls"] == 1 and d["fields"] == ["url", "title"]
+    assert d["data"] == [{"url": "u", "title": "t"}]
