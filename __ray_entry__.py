@@ -21,8 +21,10 @@ from typing import Any
 
 from seo_crawler_ray.pipelines import queries as _q
 
-# operators whose verification lives in tests/ (not SQL-expressible)
-_NO_ORACLE = {"minhash_near_dups", "simhash_near_dups", "langid"}
+# operators whose verification lives in tests/ (not SQL-expressible or
+# inherently nondeterministic wall-clock surfaces)
+_NO_ORACLE = {"minhash_near_dups", "simhash_near_dups", "langid",
+              "crawl_wave_metrics"}
 
 
 def entry() -> Any:

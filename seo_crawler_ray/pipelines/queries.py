@@ -374,6 +374,20 @@ def q_pages_since_wave2(sf_dir: str):
     return pdf[["url", "depth", "seq"]]
 
 
+def q_crawl_wave_metrics(sf_dir: str):
+    """Per-wave lineage/metrics surface (A1/T7): wave sizes, discovery
+    counts, throughput, politeness makespan — read from the crawl's
+    checkpointed metrics (rows-only check: wall times are nondeterministic)."""
+    with open(os.path.join(crawl_dir(sf_dir), "metrics.json")) as f:
+        summary = json.load(f)
+    rows = [{"wave": w["wave"], "n_frontier": w["n_frontier"],
+             "n_new": w["n_new"], "crawled_total": w["crawled_total"],
+             "urls_per_sec": w["urls_per_sec"],
+             "politeness_makespan": w["politeness_makespan"]}
+            for w in summary["waves"]]
+    return pd.DataFrame(rows)
+
+
 def q_eeat_summary(sf_dir: str):
     """A6 aggregate half of the E-E-A-T plugin (e-e-a-t.js:302-380):
     corpus-level score mean + per-signal counts."""
@@ -555,6 +569,7 @@ def queries() -> dict:
         "sitemap_expansion": q_sitemap_expansion,
         "pages_since_wave2": q_pages_since_wave2,
         "eeat_summary": q_eeat_summary,
+        "crawl_wave_metrics": q_crawl_wave_metrics,
         # training-data operators (vs live SQL over the driver views)
         "dedup_exact": q_dedup_exact,
         "minhash_near_dups": q_minhash_near_dups,
