@@ -55,6 +55,9 @@ class CrawlConfig:
     seen_shards: int = 8           # URL-seen actor shards; scale with cluster size
     seen_capacity: int = 1 << 20   # per-shard cuckoo capacity; 10^10-URL deployments size this up
     seen_exact: bool = True        # keep exact 64-bit spill set alongside the filter (parity mode)
+    seen_checkpoint: str = "full"  # "full" snapshot per wave, or "delta"
+                                   # (only keys added this wave; the
+                                   # 10^10-scale mode — restore replays)
     extract_batch_size: int = 64   # HTML rows per batch (wide binary rows -> small
                                    # batches; keeps multi-MB pages from straggling)
     extract_concurrency: int | None = None  # actor pool size; None -> tasks sized by Ray

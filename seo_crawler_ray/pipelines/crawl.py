@@ -490,8 +490,14 @@ class CrawlJob:
 
     # -- checkpoint / resume ---------------------------------------------
     def _checkpoint(self, wave: int, seen, politeness, crawled_total: int) -> None:
-        refs = [s.checkpoint.remote(self._p("seen", f"wave={wave}", f"shard={i}.npz"))
-                for i, s in enumerate(seen)]
+        if self.config.seen_checkpoint == "delta":
+            refs = [s.checkpoint_delta.remote(
+                        self._p("seen", f"wave={wave}", f"shard={i}.npz"))
+                    for i, s in enumerate(seen)]
+        else:
+            refs = [s.checkpoint.remote(
+                        self._p("seen", f"wave={wave}", f"shard={i}.npz"))
+                    for i, s in enumerate(seen)]
         refs += [p.checkpoint.remote(self._p("politeness", f"wave={wave}", f"shard={i}.parquet"))
                  for i, p in enumerate(politeness)]
         ray.get(refs)
@@ -529,8 +535,16 @@ class CrawlJob:
         if not done:
             return 0, 0
         last = max(done)
-        ray.get([s.restore.remote(self._p("seen", f"wave={last}", f"shard={i}.npz"))
-                 for i, s in enumerate(seen)])
+        if self.config.seen_checkpoint == "delta":
+            # replay every wave's delta in order
+            ray.get([s.restore_deltas.remote(
+                        [self._p("seen", f"wave={w}", f"shard={i}.npz")
+                         for w in sorted(done)])
+                     for i, s in enumerate(seen)])
+        else:
+            ray.get([s.restore.remote(
+                        self._p("seen", f"wave={last}", f"shard={i}.npz"))
+                     for i, s in enumerate(seen)])
         pol_dir = self._p("politeness", f"wave={last}")
         if os.path.isdir(pol_dir):
             ray.get([p.restore.remote(os.path.join(pol_dir, f"shard={i}.parquet"))

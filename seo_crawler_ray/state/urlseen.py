@@ -26,6 +26,7 @@ class _SeenCore:
         self.filter = CuckooFilter(capacity)
         self.exact = exact
         self.exact_set: set[int] | None = set() if exact else None
+        self._delta: list[int] = []   # keys added since the last checkpoint
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """True where the key was NOT seen before this call; duplicates
@@ -51,12 +52,15 @@ class _SeenCore:
         new = hashes[out]
         if len(new):
             self.filter.insert_batch(new)
+            self._delta.extend(new.tolist())
         return out
 
     def count(self) -> int:
         return len(self.exact_set) if self.exact else self.filter.size
 
     def checkpoint(self, path: str) -> None:
+        """Full-state snapshot: filter table (+bloom) and, in exact mode,
+        the key set. O(filter size) per wave — fine at test scale."""
         os.makedirs(os.path.dirname(path), exist_ok=True)
         st = self.filter.to_state()
         if self.exact:
@@ -65,6 +69,20 @@ class _SeenCore:
         tmp = path + ".tmp.npz"
         np.savez(tmp, **st)   # uncompressed: checkpoint latency > disk here
         os.replace(tmp, path)
+        self._delta.clear()
+
+    def checkpoint_delta(self, path: str) -> int:
+        """Delta snapshot: only the keys inserted since the last checkpoint
+        — O(new keys this wave), the 10^10-scale mode (a full cuckoo table
+        is ~2.2 B/key of state; rewriting it every wave would dwarf the
+        wave's own I/O). Restore replays deltas in wave order."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        keys = np.array(self._delta, dtype=np.uint64)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, delta_keys=keys)
+        os.replace(tmp, path)
+        self._delta.clear()
+        return len(keys)
 
     def restore(self, path: str) -> None:
         with np.load(path) as z:
@@ -73,6 +91,18 @@ class _SeenCore:
         self.filter = CuckooFilter.from_state(st)
         if self.exact:
             self.exact_set = set(exact_keys.tolist()) if exact_keys is not None else set()
+        self._delta.clear()
+
+    def restore_deltas(self, paths: list[str]) -> None:
+        """Rebuild state by replaying delta files in checkpoint order."""
+        for p in paths:
+            with np.load(p) as z:
+                keys = z["delta_keys"].astype(np.uint64)
+            if len(keys):
+                self.filter.insert_batch(keys)
+                if self.exact:
+                    self.exact_set.update(keys.tolist())
+        self._delta.clear()
 
 
 @ray.remote(num_cpus=0)
@@ -93,8 +123,14 @@ class UrlSeenShard:
         self.core.checkpoint(path)
         return path
 
+    def checkpoint_delta(self, path: str) -> int:
+        return self.core.checkpoint_delta(path)
+
     def restore(self, path: str) -> None:
         self.core.restore(path)
+
+    def restore_deltas(self, paths: list[str]) -> None:
+        self.core.restore_deltas(paths)
 
 
 def make_seen_shards(n_shards: int, capacity_per_shard: int, exact: bool):

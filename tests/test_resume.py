@@ -68,3 +68,28 @@ def test_resume_discards_partial_wave(interrupted_run, tiny_corpus, ray_session)
     CrawlJob(tiny_corpus, out, cfg).run(resume=True)
     files = os.listdir(f"{out}/pages/wave=2")
     assert "garbage.parquet" not in files
+
+
+def test_resume_with_delta_checkpoints(ray_session, tiny_corpus, tmp_path):
+    """seen_checkpoint='delta' (per-wave new-keys-only snapshots — the
+    10^10-scale mode) resumes to the same final crawl as a clean run."""
+    from seo_crawler_ray.pipelines.crawl import CrawlJob
+    from seo_crawler_ray.sources.cache import flagship_config
+
+    cfg = flagship_config(seen_shards=2, politeness_shards=2,
+                          seen_checkpoint="delta")
+
+    class StopAfter2(CrawlJob):
+        def _run_wave(self, wave, *a, **kw):
+            if wave >= 2:
+                raise KeyboardInterrupt("killed mid-run")
+            return super()._run_wave(wave, *a, **kw)
+
+    out = str(tmp_path / "delta")
+    with pytest.raises(KeyboardInterrupt):
+        StopAfter2(tiny_corpus, out, cfg).run()
+    CrawlJob(tiny_corpus, out, cfg).run(resume=True)
+
+    ref = str(tmp_path / "ref")
+    CrawlJob(tiny_corpus, ref, cfg).run()
+    assert _read_sorted(out) == _read_sorted(ref)
