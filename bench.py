@@ -72,6 +72,17 @@ def run_bench() -> dict:
     timings["crawl"] = min(crawl_times)
     timings["crawl_runs"] = crawl_times
 
+    if os.environ.get("RAY_GRAFT_CRAWL_ONLY"):
+        value = timings["crawl"]
+        return {
+            "metric": "frontier-expansion crawl wall time (crawl-only mode)",
+            "value": value, "unit": "sec", "queries": timings,
+            "sf": os.path.basename(os.path.normpath(SF_DIR)),
+            "num_cpus": NUM_CPUS,
+            "crawl_urls_per_sec": round(crawled / value, 2) if value else 0.0,
+            "crawled_urls": crawled,
+        }
+
     # extraction-only throughput over the whole corpus
     timed("extract_all", lambda: queries.q_extract_pages(SF_DIR).count())
 
@@ -118,7 +129,8 @@ def run_scaling() -> dict:
     pairs = [tuple(int(x) for x in p.split(":")) for p in pair_env.split(",")]
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAY_GRAFT_CRAWL_ONLY="1")   # scaling measures the crawl
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

@@ -272,6 +272,34 @@ def q_extract_pages(sf_dir: str):
                           batch_size=None, num_cpus=1)
 
 
+def q_extract_text(sf_dir: str):
+    """The input_hint's per-row invariant: byte-identical extracted text per
+    url. The corpus ``text`` column IS soup.get_text() ground truth (written
+    by the generator from its IR); the engine re-derives it by parsing
+    ``html`` and must match md5-for-md5."""
+    import hashlib
+
+    cdir = _corpus(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(cdir, "pages.parquet"),
+                               columns=["url", "html", "text"])
+
+    def text_hash(batch: pa.Table) -> pa.Table:
+        from ..htmlparse.dom import parse_html
+        urls, hashes = [], []
+        for url, html, text in zip(batch["url"].to_pylist(),
+                                   batch["html"].to_pylist(),
+                                   batch["text"].to_pylist()):
+            if not text:      # non-HTML rows carry no text oracle
+                continue
+            got = parse_html(html).get_text()
+            urls.append(url)
+            hashes.append(hashlib.md5(got.encode("utf-8")).hexdigest())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "text_md5": pa.array(hashes)})
+
+    return ds.map_batches(text_hash, batch_format="pyarrow", batch_size=256)
+
+
 def q_canonicalize(sf_dir: str):
     cdir = _corpus(sf_dir)
     ds = ray.data.read_parquet(os.path.join(cdir, "candidates.parquet"),
@@ -558,6 +586,7 @@ def queries() -> dict:
         "eeat_scores": q_eeat_scores,
         # pure extraction (vs generator truth)
         "extract_pages": q_extract_pages,
+        "extract_text": q_extract_text,
         "canonicalize": q_canonicalize,
         "multimodal_features": q_multimodal_features,
         # export / read-path operators
@@ -758,6 +787,9 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                    n_images, images_without_alt, internal_links,
                    external_links, ga4_id, gtm_id
             FROM read_parquet('{_cp('gen_truth.parquet')}')""",
+        "extract_text": (
+            "SELECT url, md5(text) AS text_md5 FROM "
+            f"read_parquet('{_cp('pages.parquet')}') WHERE text <> ''"),
         "canonicalize": (
             "SELECT source_url, href, clean_url AS url_clean FROM "
             f"read_parquet('{_cp('candidates.parquet')}')"),
