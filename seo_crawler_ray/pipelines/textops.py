@@ -7,11 +7,13 @@ SequenceMatcher pass at issue_detector.py:315-431 — kept for parity in
 
 - exact dedup: content-hash -> groupby(hash).min(doc_id). One shuffle over
   (hash, id) pairs only — never the text.
-- MinHash+LSH near-dup: per-batch shingling + 64 minhashes (vectorized
+- MinHash+LSH near-dup (Broder 1997 resemblance sketches; banded LSH per
+  Indyk-Motwani 1998 / Mining of Massive Datasets ch.3): per-batch shingling + 64 minhashes (vectorized
   numpy) -> explode to (band, band_hash, doc_id) rows -> groupby bands ->
   candidate pairs -> exact-Jaccard verification. At corpus scale the verify
   step joins texts by hash-bucket; at test scale texts are broadcast.
-- SimHash near-dup: 64-bit weighted fingerprints, banded into 4x16-bit
+- SimHash near-dup (Charikar 2002 similarity estimation; Manku et al.
+  WWW'07 near-duplicate detection): 64-bit weighted fingerprints, banded into 4x16-bit
   chunks for candidate generation, Hamming-distance verification.
 - n-gram Jaccard pairs: exact pairwise verification operator.
 - language-ID: stopword/charclass heuristic (vectorized per batch).

@@ -1,5 +1,11 @@
 """Cuckoo filter (with bloom fallback) for the URL-seen set.
 
+Design follows the published cuckoo-filter construction (Fan, Andersen,
+Kaminsky, Mitzenmacher: "Cuckoo Filter: Practically Better Than Bloom",
+CoNEXT 2014): partial-key cuckoo hashing with 4-slot buckets and
+XOR-derived alternate buckets; the bloom fallback is the classic
+Bloom (1970) / Kirsch-Mitzenmacher double-hashing variant.
+
 The reference keeps an exact in-process ``set`` of discovered URLs
 (/root/reference/src/core/link_manager.py:14,48-55). At the 10^10-URL design
 scale mandated by BASELINE.json an exact set is ~TBs across the cluster, so
