@@ -224,7 +224,9 @@ def _basic_seo(soup: Node, result: dict) -> None:
     result["h2"] = [h.get_text().strip() for h in soup.find_all("h2", limit=10)]
     result["h3"] = [h.get_text().strip() for h in soup.find_all("h3", limit=10)]
 
-    result["word_count"] = len(_WORD_RE.findall(soup.get_text()))
+    # match-count without materializing the token strings (same count as
+    # len(re.findall(r'\b\w+\b', text)), seo_extractor.py:32-34)
+    result["word_count"] = sum(1 for _ in _WORD_RE.finditer(soup.get_text()))
 
     html_tag = soup.find("html")
     result["lang"] = html_tag.get("lang", "") if html_tag else ""
@@ -282,23 +284,33 @@ def _json_ld(soup: Node, result: dict) -> None:
 
 
 def _analytics(html_text: str, result: dict) -> None:
+    """seo_extractor.py:117-156. Every reference pattern except the two id
+    regexes is a *literal* string under IGNORECASE, so each is replaced by a
+    substring test on one lowercased copy (identical semantics, one scan of
+    the page instead of nine); the id regexes only run behind 'G-'/'GTM-'
+    prefilters."""
     a = result["analytics"]
-    m = _GA4_RE.search(html_text)
-    if m:
-        a["ga4_id"] = m.group()
-        a["gtag"] = True
-    m = _GTM_RE.search(html_text)
-    if m:
-        a["gtm_id"] = m.group()
-    for pat in _GA_PATTERNS:
-        if pat.search(html_text):
-            a["google_analytics"] = True
-            break
-    if _FB_RE.search(html_text):
+    if "G-" in html_text:
+        m = _GA4_RE.search(html_text)
+        if m:
+            a["ga4_id"] = m.group()
+            a["gtag"] = True
+    if "GTM-" in html_text:
+        m = _GTM_RE.search(html_text)
+        if m:
+            a["gtm_id"] = m.group()
+    lower = html_text.lower()
+    # gtag( | ga( | GoogleAnalyticsObject | google-analytics.com |
+    # googletagmanager.com  (seo_extractor.py:121-127, first match wins)
+    if ("gtag(" in lower or "ga(" in lower or "googleanalyticsobject" in lower
+            or "google-analytics.com" in lower
+            or "googletagmanager.com" in lower):
+        a["google_analytics"] = True
+    if "fbq(" in lower or "facebook.com/tr" in lower:
         a["facebook_pixel"] = True
-    if _HOTJAR_RE.search(html_text):
+    if "hotjar.com" in lower or "hj(" in lower:
         a["hotjar"] = True
-    if _MIXPANEL_RE.search(html_text):
+    if "mixpanel.com" in lower or "mixpanel.track" in lower:
         a["mixpanel"] = True
 
 
