@@ -110,6 +110,54 @@ def embedding_dup_pairs(emb_ds, max_id: int = 500, tau: float = 0.35) -> pd.Data
     return pairs.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def ivf_topk(emb_ds, n_queries: int = 8, k: int = 10, n_lists: int = 16,
+             n_probe: int = 4, train_sample: int = 2048,
+             kmeans_iters: int = 8) -> pd.DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
+    trained on a sample, vectors assigned to their nearest centroid list
+    (one vectorized pass), queries probe the ``n_probe`` nearest lists.
+    The other scale path besides ``lsh_bucketed_topk`` — IVF adapts to the
+    data distribution where LSH planes are data-oblivious.
+
+    All randomness is seeded; training is a driver-side numpy loop over a
+    bounded sample (centroids are tiny and broadcast)."""
+    rng = np.random.RandomState(11)
+    sample = emb_ds.random_sample(1.0, seed=11).limit(train_sample).to_pandas()
+    X = _norm_rows(np.array(sample["embedding"].tolist(), dtype=np.float64))
+    n_lists = min(n_lists, len(X))
+    centroids = X[rng.choice(len(X), n_lists, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (X @ centroids.T).argmax(axis=1)
+        for c in range(n_lists):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    centroids_ref = ray.put(centroids)
+
+    def assign_lists(batch: pa.Table) -> pa.Table:
+        C = ray.get(centroids_ref)
+        E = _norm_rows(_emb_matrix(batch))
+        lists = (E @ C.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+    listed = emb_ds.map_batches(assign_lists, batch_format="pyarrow").materialize()
+
+    qdf = emb_ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    qmat = _norm_rows(np.array(qdf["embedding"].tolist(), dtype=np.float64))
+    rows = []
+    for qid, qv in zip(qdf["vec_id"], qmat):
+        probe = set(np.argsort(-(centroids @ qv))[:n_probe].tolist())
+        cand = listed.filter(
+            lambda r, probe=probe: r["ivf_list"] in probe).to_pandas()
+        M = _norm_rows(np.array(cand["embedding"].tolist(), dtype=np.float64))
+        sims = M @ qv
+        order = np.lexsort((cand["vec_id"].to_numpy(), -np.round(sims, 6)))[:k]
+        for rank, ix in enumerate(order, 1):
+            rows.append((int(qid), int(cand["vec_id"].iloc[ix]), rank))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+
+
 def lsh_bucketed_topk(emb_ds, n_queries: int = 8, k: int = 10,
                       n_planes: int = 8, n_probe_buckets: int = 4) -> pd.DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing: vectors are

@@ -156,3 +156,21 @@ def test_langid_runs_on_documents(ray_session):
     pred = docs.map_batches(langid_batch, batch_format="pyarrow").to_pandas()
     assert len(pred) == docs.count()
     assert set(pred["pred_lang"]) <= {"en", "de", "fr", "es", "zh"}
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.embedops import ann_topk, ivf_topk
+    rng = np.random.RandomState(9)
+    centers = rng.normal(size=(8, 64)) * 4
+    E = np.vstack([centers[i % 8] + rng.normal(size=64) * 0.3
+                   for i in range(400)]).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(400), "embedding": [list(e) for e in E],
+                       "label": [0] * 400})
+    ds = ray.data.from_pandas(df)
+    exact = ann_topk(ds, n_queries=2, k=10)
+    approx = ivf_topk(ds, n_queries=2, k=10, n_lists=8, n_probe=2)
+    for q in range(2):
+        a = set(exact[exact["query_id"] == q]["neighbor_id"])
+        b = set(approx[approx["query_id"] == q]["neighbor_id"])
+        assert len(a & b) / len(a) >= 0.7
