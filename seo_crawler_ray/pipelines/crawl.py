@@ -2,18 +2,22 @@
 
 Dataflow per wave (SURVEY.md §7; all-to-all exchanges marked *):
 
-    frontier/wave=K (parquet)
-      -> map_batches(FetchExtract actors)        # fetch-sim + parse + extract
-      -> pages/wave=K (parquet, html-free)       # sink
-      -> explode _links -> links/wave=K          # sink
-      -> explode _outlinks
-      -> groupby(url).min(key)*                  # within-wave first-discovery
-      -> map_batches(SeenFilter -> seen shards)  # cross-wave dedup (actors)
-      -> sort(key)*                              # FIFO parity order
-      -> limit(max_urls - crawled)
-      -> add_global_rank
+    frontier/wave=K (parquet, block count = extract parallelism)
+      -> map_batches(extract_and_sink_batch)     # task UDF, warm per-worker
+           fetch-sim + parse + all extractors       context cache
+           -> pages/wave=K parquet   (written inside the tasks)
+           -> links/wave=K parquet   (written inside the tasks)
+           -> outlink candidates (url, host, key, depth) only
+      -> [distributed path] groupby(url).min(key)* -> SeenFilter tasks ->
+         sort(key)* -> limit -> per-block rank+write+host-count tasks
+      -> [compact path, < wave_compact_threshold rows] one driver dict pass
+         + one batched seen-shard RPC round (parity-tested identical)
       -> frontier/wave=K+1 (parquet)
-    checkpoint: seen shard .npz + politeness parquet + metrics + _WAVE_OK
+    politeness clock advance -> checkpoint: seen shard .npz (full or delta)
+    + politeness parquet + metrics + lineage + _WAVE_OK
+
+On a multi-node cluster ``out_dir`` must be shared storage (NFS / object
+store URI) — every path here goes through pyarrow, which accepts URIs.
 
 Equivalence to the reference's FIFO deque (link_manager.py:177-182): BFS
 with children appended in document order per source makes the global FIFO
