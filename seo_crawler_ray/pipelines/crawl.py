@@ -193,6 +193,10 @@ class CrawlJob:
                                           "*.parquet"))
                 self._frontier_hint = sum(pq.read_metadata(f).num_rows
                                           for f in files)
+        else:
+            # a fresh run into a previously-used out_dir must not mix with
+            # stale wave partitions (readers union every wave=* dir)
+            self._reset_output()
 
         if start_wave == 0:
             n0 = self._build_wave0(seed_url, base_domain, robots, seen, cfg)
@@ -217,6 +221,18 @@ class CrawlJob:
 
         self._finish(t_start, crawled_total, n_corpus)
         return self.summary()
+
+    def _reset_output(self) -> None:
+        """Remove prior crawl state from out_dir (only the layout this job
+        owns — never unrelated user files)."""
+        import glob
+        import shutil
+        for sub in ("pages", "links", "frontier", "seen", "politeness"):
+            shutil.rmtree(self._p(sub), ignore_errors=True)
+        for pat in ("_WAVE_*_OK", "metrics_wave_*.json",
+                    "lineage_wave_*.json", "metrics.json"):
+            for f in glob.glob(self._p(pat)):
+                os.remove(f)
 
     # -- wave 0 -----------------------------------------------------------
     def _build_wave0(self, seed_url: str, base_domain: str, robots: RobotsIndex,
@@ -316,7 +332,10 @@ class CrawlJob:
         candidates = candidates.materialize()
         if os.environ.get("SEO_RAY_STATS"):
             print(f"=== wave {wave} extract stats ===\n{candidates.stats()}")
-        n_frontier = hint
+        # authoritative row count from metadata (parquet footers / staged
+        # block sizes) — the hint is a parallelism heuristic only, and a
+        # wrong hint must not corrupt rank offsets
+        n_frontier = frontier.count()
         t = _mark("extract", t)
 
         remaining = max(0, cfg.max_urls - crawled_total - n_frontier)
