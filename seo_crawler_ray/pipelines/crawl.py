@@ -82,22 +82,6 @@ def _rank_write_block(tbl: pa.Table, offset: int, path: str):
             dict(collections.Counter(tbl["host"].to_pylist()))), out
 
 
-@ray.remote
-def _add_rank_block(tbl: pa.Table, offset: int) -> pa.Table:
-    rank = pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
-    return tbl.append_column("rank", rank)
-
-
-def add_global_rank(ds: "ray.data.Dataset", offset: int) -> "ray.data.Dataset":
-    """zipWithIndex over a sorted, materialized dataset: per-block counts ->
-    prefix-sum offsets -> per-block arange. Block-parallel; no driver rows."""
-    refs = ds.to_arrow_refs()
-    counts = ray.get([_count_rows.remote(r) for r in refs])
-    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) + offset if counts else []
-    new_refs = [_add_rank_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
-    return ray.data.from_arrow_refs(new_refs)
-
-
 def load_corpus_table(corpus_dir: str) -> pa.Table:
     pages = pq.read_table(os.path.join(corpus_dir, "pages.parquet"),
                           columns=["url", "html"])

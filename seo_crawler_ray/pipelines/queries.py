@@ -502,6 +502,72 @@ def q_distinct_event_types(sf_dir: str):
     return pd.DataFrame({"event_type": vals})
 
 
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped aggregate over the largest table: per-batch partial
+    aggregation (cents-integerized) then a tiny groupby — the shuffle moves
+    one row per (flag, status, batch)."""
+    from ray.data.aggregate import Sum
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount"]
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=cols)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["qty_c"] = np.round(df["l_quantity"] * 100).astype(np.int64)
+        df["price_c"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        disc_price = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["disc_c"] = np.round(disc_price * 10000).astype(np.int64)
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            part_n=("qty_c", "size"), part_qty=("qty_c", "sum"),
+            part_price=("price_c", "sum"), part_disc=("disc_c", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("part_n", alias_name="count_order"),
+            Sum("part_qty", alias_name="sum_qty_cents"),
+            Sum("part_price", alias_name="sum_price_cents"),
+            Sum("part_disc", alias_name="sum_disc_price_e4"))
+    pdf = out.to_pandas()
+    for c in ("count_order", "sum_qty_cents", "sum_price_cents",
+              "sum_disc_price_e4"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_orders_by_region(sf_dir: str):
+    """Four-way dimension chain orders->customer->nation->region with the
+    dim side pre-joined driver-side and broadcast (snowflake pattern)."""
+    from ray.data.aggregate import Count, Sum
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    region = pd.read_parquet(os.path.join(sf_dir, "region.parquet"))
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey") \
+              .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_ref = ray.put(dict(zip(dim["c_custkey"], dim["r_name"])))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(k, "") for k in batch["o_custkey"].to_pylist()]
+        cents = pa.compute.round(pa.compute.multiply(batch["o_totalprice"], 100))
+        cents = cents.combine_chunks() if isinstance(cents, pa.ChunkedArray) else cents
+        return pa.table({"region": pa.array(names),
+                         "cents": cents.cast(pa.int64())})
+
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_totalprice"])
+    agg = orders.map_batches(attach, batch_format="pyarrow") \
+        .groupby("region").aggregate(Sum("cents", alias_name="total_cents"),
+                                     Count(alias_name="order_cnt"))
+    pdf = agg.to_pandas()
+    pdf["total_cents"] = pdf["total_cents"].astype("int64")
+    pdf["order_cnt"] = pdf["order_cnt"].astype("int64")
+    return pdf.sort_values("region").reset_index(drop=True)
+
+
 def q_orders_by_nation(sf_dir: str):
     """Multi-way dimension join: orders x customer x nation, grouped by
     nation name. The dimension side (customer->nation name) is broadcast
@@ -618,6 +684,8 @@ def queries() -> dict:
         "event_type_stats": q_event_type_stats,
         "top_customers": q_top_customers,
         "orders_by_nation": q_orders_by_nation,
+        "orders_by_region": q_orders_by_region,
+        "lineitem_pricing": q_lineitem_pricing,
     }
 
 
@@ -988,6 +1056,26 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             QUALIFY row_number() OVER (PARTITION BY user_id
                     ORDER BY value DESC, event_id) <= 3""",
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS count_order,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                   CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000)
+                       AS BIGINT)) AS BIGINT) AS sum_disc_price_e4
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "orders_by_region": """
+            SELECT r.r_name AS region,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents,
+                   count(*) AS order_cnt
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name""",
         "orders_by_nation": """
             SELECT n.n_name AS nation,
                    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
