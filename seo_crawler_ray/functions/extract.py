@@ -127,8 +127,8 @@ def extract_page(
     if "text/html" not in content_type_header:
         return result, link_records, outlinks
 
-    from ..htmlparse.dom import IndexedDoc
-    soup = IndexedDoc(parse_html(html))
+    from ..htmlparse.dom import parse_html_indexed
+    soup = parse_html_indexed(html)
     html_text = html.decode("utf-8", errors="replace")
 
     _basic_seo(soup, result)

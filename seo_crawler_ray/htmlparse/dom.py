@@ -134,16 +134,23 @@ def _matches(el: Node, name: str | None, attr_filters: dict) -> bool:
 
 
 class IndexedDoc:
-    """One-walk index over a parsed tree: elements grouped by tag name (in
-    document order) plus the concatenated text. Presents the same
+    """Index over a parsed tree: elements grouped by tag name (in document
+    order) plus the concatenated text. Presents the same
     ``find``/``find_all``/``get_text`` surface the extractors use, so the
-    ten extractor passes cost one tree walk instead of twelve (hot-path
-    optimization; semantics identical to walking the tree each time)."""
+    ten extractor passes cost zero extra tree walks (semantics identical to
+    walking the tree each time — start-tag event order IS DFS pre-order,
+    and handle_data order IS text document order).
+
+    Built either inline by the parser (``parse_html_indexed``, the hot
+    path) or by walking an existing tree (``IndexedDoc(root)``)."""
 
     __slots__ = ("root", "by_tag", "elements", "_text")
 
-    def __init__(self, root: Node):
+    def __init__(self, root: Node, _prebuilt: tuple | None = None):
         self.root = root
+        if _prebuilt is not None:
+            self.by_tag, self.elements, self._text = _prebuilt
+            return
         by_tag: dict[str, list[Node]] = {}
         elements: list[Node] = []
         parts: list[str] = []
@@ -185,10 +192,17 @@ class IndexedDoc:
 
 
 class _TreeBuilder(HTMLParser):
+    """Builds the Node tree AND the IndexedDoc structures in one pass:
+    start-tag event order equals DFS pre-order and data event order equals
+    text document order, so no post-parse walk is needed."""
+
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Node("[document]", {}, None)
         self.stack = [self.root]
+        self.by_tag: dict[str, list[Node]] = {}
+        self.elements: list[Node] = []
+        self.text_parts: list[str] = []
 
     def _attrs_dict(self, attrs) -> dict:
         out = {}
@@ -197,15 +211,25 @@ class _TreeBuilder(HTMLParser):
                 out[k] = v if v is not None else ""
         return out
 
+    def _record(self, node: Node) -> None:
+        self.elements.append(node)
+        bucket = self.by_tag.get(node.name)
+        if bucket is None:
+            self.by_tag[node.name] = [node]
+        else:
+            bucket.append(node)
+
     def handle_starttag(self, tag, attrs):
         node = Node(tag, self._attrs_dict(attrs), self.stack[-1])
         self.stack[-1].children.append(node)
+        self._record(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
         node = Node(tag, self._attrs_dict(attrs), self.stack[-1])
         self.stack[-1].children.append(node)
+        self._record(node)
 
     def handle_endtag(self, tag):
         if tag in VOID_ELEMENTS:
@@ -219,6 +243,7 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if data:
             self.stack[-1].children.append(data)
+            self.text_parts.append(data)
 
     # comments, PIs, declarations: ignored (not part of get_text)
 
@@ -231,3 +256,15 @@ def parse_html(content: bytes | str) -> Node:
     builder.feed(content)
     builder.close()
     return builder.root
+
+
+def parse_html_indexed(content: bytes | str) -> IndexedDoc:
+    """Parse straight into an IndexedDoc (hot path: no post-parse walk)."""
+    if isinstance(content, (bytes, bytearray)):
+        content = content.decode("utf-8", errors="replace")
+    builder = _TreeBuilder()
+    builder.feed(content)
+    builder.close()
+    return IndexedDoc(builder.root,
+                      _prebuilt=(builder.by_tag, builder.elements,
+                                 "".join(builder.text_parts)))
