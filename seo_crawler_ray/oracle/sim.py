@@ -106,6 +106,11 @@ class SimCrawl:
             del r["error"]
             return r
         html, status, ct_header = hit
+        if cfg.max_file_size > 0 and len(html) > cfg.max_file_size:
+            # S2 size pre-check (crawler.py:788-803)
+            r = empty_result(url, depth, 0, f"File too large: {len(html)} bytes")
+            del r["error"]
+            return r
         internal = is_internal(url, base_domain)
         result, link_records, outlinks = extract_page(
             html, url, depth, base_domain, status, ct_header, internal)

@@ -128,6 +128,7 @@ class FetchExtract:
             cfg_dict["include_patterns"], cfg_dict["exclude_patterns"],
             robots_index=robots, user_agent=cfg_dict["user_agent"])
         self.crawl_external = cfg_dict["crawl_external"]
+        self.max_file_size = cfg_dict.get("max_file_size", 0)
 
     def extract_batch(self, batch: pa.Table, max_depth: int, wave: int) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -147,6 +148,12 @@ class FetchExtract:
             # a live crawl would raise in requests -> create_empty_result
             # (crawler.py:916-918)
             result = empty_result(url, depth, 0, "fetch failed: not in corpus")
+            link_records, outlinks = [], []
+        elif self.max_file_size > 0 and len(hit[0]) > self.max_file_size:
+            # S2 size pre-check (crawler.py:788-803): the reference HEADs
+            # Content-Length and skips oversized bodies with an empty result
+            result = empty_result(url, depth, 0,
+                                  f"File too large: {len(hit[0])} bytes")
             link_records, outlinks = [], []
         else:
             html, status, ct = hit

@@ -248,3 +248,35 @@ def test_approx_seen_mode_close_to_exact(ray_session, tiny_corpus, tmp_path,
     missing = sim_result.seen - set(urls)
     assert not extra                             # FP can only DROP urls
     assert len(missing) <= max(2, len(sim_result.seen) // 100)
+
+
+def test_max_file_size_gate(ray_session, tiny_corpus, tmp_path, sim_result):
+    """S2 (crawler.py:788-803): bodies over max_file_size produce empty
+    results (status 0, no links, no expansion) — engine vs oracle."""
+    import pyarrow.parquet as pq
+    from seo_crawler_ray.oracle.sim import SimCrawl
+    from seo_crawler_ray.pipelines.crawl import CrawlJob
+    from seo_crawler_ray.sources.cache import flagship_config
+    from seo_crawler_ray.sources.sitemaps import load_sitemap_bodies
+    from seo_crawler_ray.state.robots import RobotsIndex
+
+    cfg = flagship_config(max_file_size=20_000, seen_shards=2,
+                          politeness_shards=2)
+    out = str(tmp_path / "sized")
+    CrawlJob(tiny_corpus, out, cfg).run()
+    pages = pads.dataset(f"{out}/pages").to_table().sort_by("rank")
+
+    p = pq.read_table(f"{tiny_corpus}/pages.parquet").to_pylist()
+    meta = {r["url"]: r for r in
+            pq.read_table(f"{tiny_corpus}/meta.parquet").to_pylist()}
+    fetch_map = {x["url"]: (x["html"], meta[x["url"]]["status_code"],
+                            meta[x["url"]]["content_type_header"]) for x in p}
+    sim = SimCrawl(fetch_map, RobotsIndex.from_parquet(f"{tiny_corpus}/robots.parquet"),
+                   load_sitemap_bodies(f"{tiny_corpus}/sitemaps.parquet"), cfg)
+    sim.run("www.hot-site.example")
+    assert list(zip(pages["url"].to_pylist(), pages["depth"].to_pylist())) == \
+        [(u, d) for _, u, d in sim.order]
+    # the gate actually fired: some big page got an empty result
+    zeroed = [r for r in pages.to_pylist()
+              if r["status_code"] == 0 and r["url"] in fetch_map]
+    assert zeroed and all(r["word_count"] == 0 for r in zeroed)
