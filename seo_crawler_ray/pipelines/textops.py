@@ -101,18 +101,29 @@ def minhash_signature(sh: np.ndarray) -> np.ndarray:
     return v.min(axis=0)
 
 
-def minhash_bands_batch(batch: pa.Table, text_col: str = "text",
-                        id_col: str = "doc_id") -> pa.Table:
+def shingle_blob_batch(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """One shingling pass per doc: the sorted-unique uint64 shingle hashes,
+    packed to a binary blob (Acero hash joins carry binary payloads where
+    list columns are rejected). Shared by band generation AND verification,
+    so the text is tokenized exactly once."""
+    blobs = [shingle_hashes(t).tobytes() for t in batch[text_col].to_pylist()]
+    return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
+                     "shingles": pa.array(blobs, pa.binary())})
+
+
+def bands_from_shingles(batch: pa.Table) -> pa.Table:
     ids, bands, bhashes = [], [], []
-    for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-        sig = minhash_signature(shingle_hashes(text))
+    for doc_id, blob in zip(batch["doc_id"].to_pylist(),
+                            batch["shingles"].to_pylist()):
+        sig = minhash_signature(np.frombuffer(blob, dtype=np.uint64))
         for b in range(N_BANDS):
             chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
             ids.append(doc_id)
             bands.append(b)
             bhashes.append(int.from_bytes(
                 hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big")
-                >> 1)  # keep int64-positive
+                >> 1)
     return pa.table({"doc_id": pa.array(ids, pa.int64()),
                      "band": pa.array(bands, pa.int32()),
                      "band_hash": pa.array(bhashes, pa.int64())})
@@ -126,20 +137,48 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+def _jaccard_blobs(sa: bytes, sb: bytes) -> float:
+    """Exact Jaccard over packed shingle blobs (sorted-unique uint64 arrays:
+    |A∩B| via np.intersect1d(assume_unique) and |A∪B| = |A|+|B|-|A∩B|)."""
+    A = np.frombuffer(sa, dtype=np.uint64)
+    B = np.frombuffer(sb, dtype=np.uint64)
+    if len(A) == 0 and len(B) == 0:
+        return 1.0
+    if len(A) == 0 or len(B) == 0:
+        return 0.0
+    inter = len(np.intersect1d(A, B, assume_unique=True))
+    return inter / (len(A) + len(B) - inter)
+
+
+def _tag_doc_blobs(batch: pa.Table) -> pa.Table:
+    """(doc_id, shingles) -> co-shuffle rows: key=doc_id, kind=1."""
+    n = len(batch)
+    return pa.table({"key": batch["doc_id"].cast(pa.int64()),
+                     "other": pa.array(np.full(n, -1, dtype=np.int64)),
+                     "blob": batch["shingles"],
+                     "kind": pa.array(np.ones(n, dtype=np.int8))})
+
+
 def minhash_near_dups(docs_ds, threshold: float = 0.7,
                       text_col: str = "text", id_col: str = "doc_id"):
-    """MinHash+LSH candidate generation + exact word-shingle Jaccard verify.
+    """MinHash+LSH candidate generation + exact word-shingle Jaccard verify,
+    fully distributed — no driver-side text materialization anywhere.
 
-    The band groupby is the only all-to-all exchange and moves (band,
-    band_hash, doc_id) triples — 24 bytes/doc/band — never text. Verification
-    broadcasts the text column (test scale); the 100 TB path re-joins texts
-    by doc-id hash bucket instead (documented trade-off).
+    Dataflow: docs -> (doc_id, shingle-blob sketch) [materialized once,
+    reused 3x] -> band rows (24 B/doc/band) -> groupby(band, band_hash) ->
+    candidate pairs -> distributed pair dedup -> two co-shuffle gather
+    stages (union of pair rows keyed by one side's id with the sketch rows
+    keyed by doc_id, then groupby(key).map_groups attaches that side's
+    sketch) -> exact Jaccard inside the second gather. Only sketches and
+    (id, id) pairs ever move through the exchanges; text never leaves its
+    source blocks and nothing wide touches the driver.
     Returns pairs (a, b, jaccard) with a < b and jaccard >= threshold.
     """
-    import ray
+    sh_ds = docs_ds.map_batches(
+        shingle_blob_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col}).materialize()
 
-    bands = docs_ds.map_batches(minhash_bands_batch, batch_format="pyarrow",
-                                fn_kwargs={"text_col": text_col, "id_col": id_col})
+    bands = sh_ds.map_batches(bands_from_shingles, batch_format="pyarrow")
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(group["doc_id"].tolist()))
@@ -148,40 +187,74 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
             for j in range(i + 1, len(ids)):
                 out_a.append(ids[i])
                 out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        return pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
+                             "b": np.array(out_b, dtype=np.int64)})
 
     cand = bands.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
-    cand_pdf = cand.to_pandas().drop_duplicates()  # candidate set: tiny vs corpus
-    if cand_pdf.empty:
+    # distributed dedup: the same pair found in k bands collapses here
+    cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+    def tag_pairs_on_a(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"key": batch["a"].cast(pa.int64()),
+                         "other": batch["b"].cast(pa.int64()),
+                         "blob": pa.array([None] * n, pa.binary()),
+                         "kind": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def gather_a(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        docs_i = np.nonzero(kind == 1)[0]
+        pairs_i = np.nonzero(kind == 0)[0]
+        if len(docs_i) == 0 or len(pairs_i) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "sh_a": pa.array([], pa.binary())})
+        blob = group["blob"][int(docs_i[0])].as_py()
+        keys = group["key"].to_numpy(zero_copy_only=False)[pairs_i]
+        others = group["other"].to_numpy(zero_copy_only=False)[pairs_i]
+        return pa.table({"a": pa.array(keys, pa.int64()),
+                         "b": pa.array(others, pa.int64()),
+                         "sh_a": pa.array([blob] * len(pairs_i), pa.binary())})
+
+    stage1 = (cand.map_batches(tag_pairs_on_a, batch_format="pyarrow")
+              .union(sh_ds.map_batches(_tag_doc_blobs, batch_format="pyarrow"))
+              .groupby("key").map_groups(gather_a, batch_format="pyarrow"))
+
+    def tag_pairs_on_b(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"key": batch["b"].cast(pa.int64()),
+                         "other": batch["a"].cast(pa.int64()),
+                         "blob": batch["sh_a"],
+                         "kind": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def verify_b(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        docs_i = np.nonzero(kind == 1)[0]
+        pairs_i = np.nonzero(kind == 0)[0]
+        out_a, out_b, out_j = [], [], []
+        if len(docs_i) and len(pairs_i):
+            sh_b = group["blob"][int(docs_i[0])].as_py()
+            keys = group["key"].to_numpy(zero_copy_only=False)
+            others = group["other"].to_numpy(zero_copy_only=False)
+            for i in pairs_i:
+                j = _jaccard_blobs(group["blob"][int(i)].as_py(), sh_b)
+                if j >= threshold:
+                    out_a.append(int(others[i]))
+                    out_b.append(int(keys[i]))
+                    out_j.append(round(j, 6))
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    out = (stage1.map_batches(tag_pairs_on_b, batch_format="pyarrow")
+           .union(sh_ds.map_batches(_tag_doc_blobs, batch_format="pyarrow"))
+           .groupby("key").map_groups(verify_b, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-
-    tdf = docs_ds.select_columns([id_col, text_col]).to_pandas()
-    texts_ref = ray.put(dict(zip(tdf[id_col], tdf[text_col])))
-
-    @ray.remote
-    def verify(pairs: pd.DataFrame, texts):
-        # Ray resolves the ObjectRef argument to the dict before the call
-        rows = []
-        cache: dict[int, set] = {}
-
-        def sh(i):
-            if i not in cache:
-                cache[i] = set(shingle_hashes(texts[i]).tolist())
-            return cache[i]
-
-        for a, b in zip(pairs["a"], pairs["b"]):
-            j = jaccard(sh(int(a)), sh(int(b)))
-            if j >= threshold:
-                rows.append((int(a), int(b), round(j, 6)))
-        return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
-
-    chunks = np.array_split(cand_pdf, max(1, len(cand_pdf) // 2000))
-    parts = ray.get([verify.remote(c, texts_ref) for c in chunks if len(c)])
-    out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
-        columns=["a", "b", "jaccard"])
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

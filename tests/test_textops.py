@@ -174,3 +174,35 @@ def test_ivf_topk_recall(ray_session):
         a = set(exact[exact["query_id"] == q]["neighbor_id"])
         b = set(approx[approx["query_id"] == q]["neighbor_id"])
         assert len(a & b) / len(a) >= 0.7
+
+
+def test_minhash_no_driver_text_materialization(planted_docs, monkeypatch):
+    """Scale contract: the verify path must never pull text (or shingle
+    blobs) to the driver — only the final (a, b, jaccard) pairs."""
+    import ray.data
+    from seo_crawler_ray.pipelines import textops
+    real = ray.data.Dataset.to_pandas
+
+    def guarded(self, *args, **kwargs):
+        cols = set(self.schema().names)
+        assert not (cols & {"text", "shingles", "sh_a", "sh_b", "html"}), \
+            f"driver materialization of wide columns: {sorted(cols)}"
+        return real(self, *args, **kwargs)
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", guarded)
+    pairs = textops.minhash_near_dups(planted_docs, threshold=0.6)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (60, 61) in got
+    assert (0, 64) in got
+
+
+def test_minhash_empty_candidates(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import minhash_near_dups
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["alpha beta gamma delta epsilon",
+                                "one two three four five six",
+                                "red green blue yellow purple"]})
+    pairs = minhash_near_dups(ray.data.from_pandas(df), threshold=0.7)
+    assert list(pairs.columns) == ["a", "b", "jaccard"]
+    assert len(pairs) == 0
