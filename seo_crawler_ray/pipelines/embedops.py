@@ -66,13 +66,7 @@ def ann_topk(emb_ds, n_queries: int = 8, k: int = 10) -> pd.DataFrame:
         TopKScorer, fn_constructor_args=(queries_ref, k),
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
     ).to_pandas()                                # n_blocks * n_q * k rows: tiny
-
-    partials["sim_r"] = partials["sim"].round(6)
-    partials = partials.sort_values(
-        ["query_id", "sim_r", "vec_id"], ascending=[True, False, True])
-    top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    return top[["query_id", "vec_id", "rank"]].rename(columns={"vec_id": "neighbor_id"})
+    return _reduce_topk(partials, k)
 
 
 class PairScorer:
@@ -110,17 +104,73 @@ def embedding_dup_pairs(emb_ds, max_id: int = 500, tau: float = 0.35) -> pd.Data
     return pairs.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
 
 
+class CellMaskedTopKScorer:
+    """One-pass probed top-k for the partitioned ANN variants (IVF / LSH).
+
+    The broadcast bundle carries the cell geometry (centroids or planes),
+    the normalized query matrix and a (n_q, n_cells) probe mask. Each batch
+    is cell-assigned AND scored in the same call: sims for cells a query
+    does not probe are masked to -inf, so only probed vectors can surface.
+    Emits batch-local top-k triples only — no per-query dataset
+    re-execution, no candidate materialization, one streaming pass total."""
+
+    def __init__(self, bundle_ref, k: int):
+        b = ray.get(bundle_ref)
+        self.mode = b["mode"]                  # "ivf" | "lsh"
+        self.C = b["cells"]                    # centroids or hyperplanes
+        self.qids = b["qids"]
+        self.Q = b["Q"]                        # normalized (n_q, dim)
+        self.probe_mask = b["probe_mask"]      # bool (n_q, n_cells)
+        self.k = k
+
+    def _cells_of(self, E_raw: np.ndarray) -> np.ndarray:
+        if self.mode == "ivf":
+            return (_norm_rows(E_raw) @ self.C.T).argmax(axis=1)
+        codes = (E_raw @ self.C.T) > 0
+        return (codes.astype(np.int64)
+                * (1 << np.arange(self.C.shape[0], dtype=np.int64))).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E_raw = _emb_matrix(batch)
+        cells = self._cells_of(E_raw)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        sims = self.Q @ _norm_rows(E_raw).T            # (n_q, n_batch)
+        sims = np.where(self.probe_mask[:, cells], sims, -np.inf)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            cols = idx[qi][np.isfinite(sims[qi, idx[qi]])]
+            out_q.extend([qid] * len(cols))
+            out_v.extend(vec_ids[cols].tolist())
+            out_s.extend(sims[qi, cols].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+
+def _reduce_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Deterministic global top-k from batch-local partials:
+    round(sim, 6) desc, vec_id asc (matches the exact oracle's ORDER BY)."""
+    partials = partials.copy()
+    partials["sim_r"] = partials["sim"].round(6)
+    partials = partials.sort_values(
+        ["query_id", "sim_r", "vec_id"], ascending=[True, False, True])
+    top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "vec_id", "rank"]].rename(
+        columns={"vec_id": "neighbor_id"})
+
+
 def ivf_topk(emb_ds, n_queries: int = 8, k: int = 10, n_lists: int = 16,
              n_probe: int = 4, train_sample: int = 2048,
              kmeans_iters: int = 8) -> pd.DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer
-    trained on a sample, vectors assigned to their nearest centroid list
-    (one vectorized pass), queries probe the ``n_probe`` nearest lists.
-    The other scale path besides ``lsh_bucketed_topk`` — IVF adapts to the
-    data distribution where LSH planes are data-oblivious.
-
-    All randomness is seeded; training is a driver-side numpy loop over a
-    bounded sample (centroids are tiny and broadcast)."""
+    trained on a bounded sample (driver-side numpy, seeded), then ONE
+    streaming pass where each batch is centroid-assigned and scored against
+    all queries at once with non-probed lists masked out. The scale path
+    where brute force is off the table; adapts to the data distribution
+    where LSH planes are data-oblivious."""
     rng = np.random.RandomState(11)
     sample = emb_ds.random_sample(1.0, seed=11).limit(train_sample).to_pandas()
     X = _norm_rows(np.array(sample["embedding"].tolist(), dtype=np.float64))
@@ -133,64 +183,51 @@ def ivf_topk(emb_ds, n_queries: int = 8, k: int = 10, n_lists: int = 16,
             if len(members):
                 v = members.mean(axis=0)
                 centroids[c] = v / max(np.linalg.norm(v), 1e-12)
-    centroids_ref = ray.put(centroids)
-
-    def assign_lists(batch: pa.Table) -> pa.Table:
-        C = ray.get(centroids_ref)
-        E = _norm_rows(_emb_matrix(batch))
-        lists = (E @ C.T).argmax(axis=1).astype(np.int64)
-        return batch.append_column("ivf_list", pa.array(lists))
-
-    listed = emb_ds.map_batches(assign_lists, batch_format="pyarrow").materialize()
 
     qdf = emb_ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
     qmat = _norm_rows(np.array(qdf["embedding"].tolist(), dtype=np.float64))
-    rows = []
-    for qid, qv in zip(qdf["vec_id"], qmat):
-        probe = set(np.argsort(-(centroids @ qv))[:n_probe].tolist())
-        cand = listed.filter(
-            lambda r, probe=probe: r["ivf_list"] in probe).to_pandas()
-        M = _norm_rows(np.array(cand["embedding"].tolist(), dtype=np.float64))
-        sims = M @ qv
-        order = np.lexsort((cand["vec_id"].to_numpy(), -np.round(sims, 6)))[:k]
-        for rank, ix in enumerate(order, 1):
-            rows.append((int(qid), int(cand["vec_id"].iloc[ix]), rank))
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    probe_mask = np.zeros((len(qdf), n_lists), dtype=bool)
+    for qi, qv in enumerate(qmat):
+        probe_mask[qi, np.argsort(-(centroids @ qv), kind="stable")[:n_probe]] = True
+
+    bundle_ref = ray.put({"mode": "ivf", "cells": centroids,
+                          "qids": qdf["vec_id"].tolist(), "Q": qmat,
+                          "probe_mask": probe_mask})
+    partials = emb_ds.map_batches(
+        CellMaskedTopKScorer, fn_constructor_args=(bundle_ref, k),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    ).to_pandas()                                # n_blocks * n_q * k rows: tiny
+    return _reduce_topk(partials, k)
 
 
 def lsh_bucketed_topk(emb_ds, n_queries: int = 8, k: int = 10,
                       n_planes: int = 8, n_probe_buckets: int = 4) -> pd.DataFrame:
-    """Approximate top-k via random-hyperplane LSH bucketing: vectors are
-    bucketed by sign pattern (one groupby), queries probe their own bucket
-    plus the nearest ``n_probe_buckets-1`` by Hamming distance. The scale
-    path for 10^9+ vectors where brute force is off the table; recall is
-    traded for touching only probed buckets."""
+    """Approximate top-k via random-hyperplane LSH: vectors hash to sign
+    buckets, each query probes its ``n_probe_buckets`` nearest buckets by
+    Hamming distance. Same one-pass masked scorer as ``ivf_topk`` — bucket
+    assignment happens inside the scoring batch, non-probed buckets are
+    masked to -inf, only (query_id, vec_id, sim) partials move."""
     rng = np.random.RandomState(7)
-    planes = rng.normal(size=(n_planes, 64))
-    planes_ref = ray.put(planes)
+    dim = len(emb_ds.take(1)[0]["embedding"])
+    planes = rng.normal(size=(n_planes, dim))
 
-    def bucketize(batch: pa.Table) -> pa.Table:
-        P = planes
-        E = _emb_matrix(batch)
-        codes = ((E @ P.T) > 0).astype(np.int64)
-        bucket = (codes * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
-        return batch.append_column("bucket", pa.array(bucket))
-
-    bucketed = emb_ds.map_batches(bucketize, batch_format="pyarrow").materialize()
     qdf = emb_ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
-    qmat = np.array(qdf["embedding"].tolist(), dtype=np.float64)
-    qcodes = ((qmat @ planes.T) > 0).astype(np.int64)
+    qmat_raw = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    qcodes = ((qmat_raw @ planes.T) > 0).astype(np.int64)
     qbuckets = (qcodes * (1 << np.arange(n_planes))).sum(axis=1)
 
-    all_codes = np.arange(1 << n_planes)
-    rows = []
-    for qid, qb, qv in zip(qdf["vec_id"], qbuckets, qmat):
+    n_cells = 1 << n_planes
+    all_codes = np.arange(n_cells)
+    probe_mask = np.zeros((len(qdf), n_cells), dtype=bool)
+    for qi, qb in enumerate(qbuckets):
         ham = np.array([bin(int(qb) ^ int(c)).count("1") for c in all_codes])
-        probe = set(all_codes[np.argsort(ham, kind="stable")][:n_probe_buckets].tolist())
-        cand = bucketed.filter(lambda r, probe=probe: r["bucket"] in probe).to_pandas()
-        M = _norm_rows(np.array(cand["embedding"].tolist(), dtype=np.float64))
-        sims = M @ (qv / max(np.linalg.norm(qv), 1e-12))
-        order = np.lexsort((cand["vec_id"].to_numpy(), -np.round(sims, 6)))[:k]
-        for rank, ix in enumerate(order, 1):
-            rows.append((int(qid), int(cand["vec_id"].iloc[ix]), rank))
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+        probe_mask[qi, np.argsort(ham, kind="stable")[:n_probe_buckets]] = True
+
+    bundle_ref = ray.put({"mode": "lsh", "cells": planes,
+                          "qids": qdf["vec_id"].tolist(),
+                          "Q": _norm_rows(qmat_raw), "probe_mask": probe_mask})
+    partials = emb_ds.map_batches(
+        CellMaskedTopKScorer, fn_constructor_args=(bundle_ref, k),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    ).to_pandas()
+    return _reduce_topk(partials, k)

@@ -459,6 +459,22 @@ def q_ann_topk(sf_dir: str):
     return embedops.ann_topk(_emb_ds(sf_dir), n_queries=8, k=10)
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """Approximate scale path; verified by recall-vs-exact pytest (no SQL
+    oracle — the output is approximation-dependent by design)."""
+    return embedops.ivf_topk(_emb_ds(sf_dir), n_queries=8, k=10,
+                             n_lists=16, n_probe=12)
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    # the synthetic embeddings are unstructured noise, so LSH (data-
+    # oblivious planes) needs a high probe fraction for recall; on
+    # clustered data (the realistic case) far fewer buckets suffice —
+    # see test_lsh_bucketed_recall's clustered fixture
+    return embedops.lsh_bucketed_topk(_emb_ds(sf_dir), n_queries=8, k=10,
+                                      n_planes=8, n_probe_buckets=192)
+
+
 def q_embedding_dup_pairs(sf_dir: str):
     return embedops.embedding_dup_pairs(_emb_ds(sf_dir), max_id=500, tau=0.35)
 
@@ -671,6 +687,8 @@ def queries() -> dict:
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "langid": q_langid,
         "quality_scores": q_quality_scores,

@@ -206,3 +206,24 @@ def test_minhash_empty_candidates(ray_session):
     pairs = minhash_near_dups(ray.data.from_pandas(df), threshold=0.7)
     assert list(pairs.columns) == ["a", "b", "jaccard"]
     assert len(pairs) == 0
+
+
+def test_registered_ann_variants_recall(ray_session):
+    """ann_topk_ivf / ann_topk_lsh at their registered parameters must
+    recover >=~0.9 of the exact top-k on the real embeddings table
+    (deterministic: seeded quantizer/planes, fixed testdata)."""
+    from seo_crawler_ray.pipelines.queries import (
+        q_ann_topk, q_ann_topk_ivf, q_ann_topk_lsh)
+    sf = "/root/testdata/sf0.001"
+    exact = q_ann_topk(sf)
+
+    def mean_recall(approx):
+        recs = []
+        for q in exact["query_id"].unique():
+            a = set(exact[exact["query_id"] == q]["neighbor_id"])
+            b = set(approx[approx["query_id"] == q]["neighbor_id"])
+            recs.append(len(a & b) / len(a))
+        return float(np.mean(recs))
+
+    assert mean_recall(q_ann_topk_ivf(sf)) >= 0.9
+    assert mean_recall(q_ann_topk_lsh(sf)) >= 0.88
