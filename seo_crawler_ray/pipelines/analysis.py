@@ -78,52 +78,122 @@ def crawl_stats(pages_ds) -> pd.DataFrame:
 
 
 # ------------------------------------------------------------ E-E-A-T ----
-def eeat_batch(batch: pa.Table) -> pa.Table:
-    """e-e-a-t.js:302-380 score, vectorized over Arrow columns."""
-    urls = batch["url"].to_pylist()
-    author = np.array([a or "" for a in batch["author"].to_pylist()])
-    og = [dict(x or []) for x in batch["og_tags"].to_pylist()]
-    json_ld_n = np.array([len(x) > 2 for x in batch["json_ld"].to_pylist()])  # "[]" len 2
-    ext = np.array(batch["external_links"].to_pylist(), dtype=np.int64)
-    wc = np.array(batch["word_count"].to_pylist(), dtype=np.int64)
+_EEAT_COLS = ["url", "author", "og_tags", "json_ld", "external_links",
+              "word_count"]
 
-    score = np.zeros(len(urls), dtype=np.int64)
-    score += np.array([u.startswith("https://") for u in urls]) * 10
-    has_author = (author != "") | np.array([bool(d.get("author")) for d in og])
-    score += has_author * 20
-    score += json_ld_n * 25
-    score += np.minimum(15, ext * 3) * (ext > 0)
-    score += np.array([bool(d.get("title")) for d in og]) * 10
-    score += np.where(wc >= 300, 20, np.where(wc >= 150, 10, 0))
+
+def _eeat_components(batch: pa.Table) -> dict[str, np.ndarray]:
+    """e-e-a-t.js:302-380 signals, vectorized (no per-row dict decode)."""
+    from . import arrowutil
+    import pyarrow.compute as pc
+    https = arrowutil.bool_np(pc.starts_with(batch["url"], "https://"))
+    author = arrowutil.bool_np(
+        pc.not_equal(pc.fill_null(batch["author"], ""), ""))
+    og_author = arrowutil.bool_np(
+        pc.not_equal(arrowutil.map_col_get(batch["og_tags"], "author"), ""))
+    og_title = arrowutil.bool_np(
+        pc.not_equal(arrowutil.map_col_get(batch["og_tags"], "title"), ""))
+    json_ld = arrowutil.bool_np(                       # "[]" has length 2
+        pc.greater(pc.utf8_length(batch["json_ld"]), 2))
+    ext = np.asarray(batch["external_links"].to_pylist(), dtype=np.int64)
+    wc = np.asarray(batch["word_count"].to_pylist(), dtype=np.int64)
+    score = (https * 10 + (author | og_author) * 20 + json_ld * 25
+             + np.minimum(15, ext * 3) * (ext > 0) + og_title * 10
+             + np.where(wc >= 300, 20, np.where(wc >= 150, 10, 0)))
+    return {"score": np.minimum(100, score), "https": https,
+            "has_author": author | og_author, "og_title": og_title,
+            "json_ld": json_ld, "ext": ext, "wc": wc}
+
+
+def eeat_batch(batch: pa.Table) -> pa.Table:
+    comp = _eeat_components(batch)
     return pa.table({"url": batch["url"],
-                     "score": pa.array(np.minimum(100, score), pa.int64())})
+                     "score": pa.array(comp["score"], pa.int64())})
 
 
 def eeat_scores(pages_ds) -> pd.DataFrame:
-    out = pages_ds.map_batches(eeat_batch, batch_format="pyarrow").to_pandas()
+    out = pages_ds.select_columns(_EEAT_COLS).map_batches(
+        eeat_batch, batch_format="pyarrow").to_pandas()
     return out.sort_values(["score", "url"], ascending=[False, True]).reset_index(drop=True)
 
 
+def _eeat_summary_partial(batch: pa.Table) -> pa.Table:
+    comp = _eeat_components(batch)
+    return pa.table({
+        "total_pages": pa.array([len(batch)], pa.int64()),
+        "sum_score": pa.array([int(comp["score"].sum())], pa.int64()),
+        "pages_with_author": pa.array([int(comp["has_author"].sum())], pa.int64()),
+        "pages_with_schema": pa.array([int(comp["json_ld"].sum())], pa.int64()),
+        "pages_with_external_links": pa.array([int((comp["ext"] > 0).sum())], pa.int64()),
+        "pages_with_og": pa.array([int(comp["og_title"].sum())], pa.int64()),
+        "secure_pages": pa.array([int(comp["https"].sum())], pa.int64()),
+        "pages_with_good_content": pa.array([int((comp["wc"] >= 300).sum())], pa.int64()),
+        "external_citations": pa.array([int(comp["ext"].sum())], pa.int64()),
+    })
+
+
+def eeat_summary(pages_ds) -> pd.DataFrame:
+    """A6 corpus-level aggregate: one partial row per batch, summed on the
+    driver (a handful of rows — the wide table never leaves the cluster).
+    JS Math.round is half-UP (e-e-a-t.js:372): floor(x + 0.5), not banker's."""
+    parts = pages_ds.select_columns(_EEAT_COLS).map_batches(
+        _eeat_summary_partial, batch_format="pyarrow").to_pandas()
+    tot = parts.sum()
+    n = int(tot["total_pages"])
+    overall = int(np.floor(tot["sum_score"] / n + 0.5)) if n else 0
+    out = {"total_pages": [n], "overall_score": [overall]}
+    for c in ("pages_with_author", "pages_with_schema",
+              "pages_with_external_links", "pages_with_og", "secure_pages",
+              "pages_with_good_content", "external_citations"):
+        out[c] = [int(tot[c])]
+    return pd.DataFrame(out)
+
+
 # ------------------------------------------------------------- issues ----
+_ISSUE_COLS = ["url", "title", "meta_description", "h1", "word_count",
+               "status_code", "canonical_url", "viewport", "lang", "robots",
+               "size", "response_time", "og_tags", "twitter_tags", "json_ld",
+               "schema_org", "images"]
+
+
 class IssueStage:
-    """Per-row issue rules as a map_batches stage (fnmatch patterns compiled
-    per actor, not per batch)."""
+    """Per-row issue rules as a map_batches stage. The nested columns are
+    reduced to flags/counts vectorized (offset arithmetic); only the scalar
+    fields the rules actually read are converted to python values."""
 
     def __init__(self, exclusion_patterns: list[str]):
         self.patterns = exclusion_patterns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import arrowutil
+        import pyarrow.compute as pc
+        og_n, _ = arrowutil.list_counts(batch["og_tags"])
+        tw_n, _ = arrowutil.list_counts(batch["twitter_tags"])
+        jl_on = arrowutil.bool_np(pc.greater(pc.utf8_length(batch["json_ld"]), 2))
+        so_on = arrowutil.bool_np(pc.greater(pc.utf8_length(batch["schema_org"]), 2))
+        n_img, img_off = arrowutil.list_counts(batch["images"])
+        imgs = batch["images"].combine_chunks()
+        alt_empty = pc.equal(imgs.flatten().field("alt"), "") \
+            .to_numpy(zero_copy_only=False)
+        n_noalt = arrowutil.segment_sums(alt_empty, img_off)
+        scalars = {c: batch[c].to_pylist()
+                   for c in _ISSUE_COLS if c not in
+                   ("og_tags", "twitter_tags", "json_ld", "schema_org", "images")}
+        og_n = og_n.to_numpy(zero_copy_only=False)
+        tw_n = tw_n.to_numpy(zero_copy_only=False)
+        n_img = n_img.to_numpy(zero_copy_only=False)
+
         rows = []
-        for r in batch.to_pylist():
-            if path_excluded(r["url"], self.patterns):
+        for i, url in enumerate(scalars["url"]):
+            if path_excluded(url, self.patterns):
                 continue
-            r = dict(r)
-            r["og_tags"] = dict(r.get("og_tags") or [])
-            r["twitter_tags"] = dict(r.get("twitter_tags") or [])
-            jl = r.get("json_ld")
-            r["json_ld"] = [] if jl in (None, "[]") else [1]
-            so = r.get("schema_org")
-            r["schema_org"] = [] if so in (None, "[]") else [1]
+            r = {c: v[i] for c, v in scalars.items()}
+            r["og_tags"] = bool(og_n[i])
+            r["twitter_tags"] = bool(tw_n[i])
+            r["json_ld"] = bool(jl_on[i])
+            r["schema_org"] = bool(so_on[i])
+            r["n_images"] = int(n_img[i])
+            r["images_without_alt"] = int(n_noalt[i])
             rows.extend(detect_page_issues(r))
         if not rows:
             return pa.table({k: pa.array([], pa.string())
@@ -133,7 +203,7 @@ class IssueStage:
 
 
 def crawl_issues(pages_ds, exclusion_patterns: list[str]) -> pd.DataFrame:
-    return pages_ds.map_batches(
+    return pages_ds.select_columns(_ISSUE_COLS).map_batches(
         IssueStage, fn_constructor_args=(exclusion_patterns,),
         batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
 

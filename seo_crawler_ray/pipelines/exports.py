@@ -39,47 +39,79 @@ CSV_DEFAULT_FIELDS = [
 
 
 def pages_csv_rows(batch: pa.Table, fields: list[str] | None = None) -> pa.Table:
-    """S10: one summarized string cell per field (main.py:264-318)."""
+    """S10: one summarized string cell per field (main.py:264-318).
+
+    Column-wise: each requested field is summarized from its own Arrow
+    column (count fields via list lengths, analytics via struct fields);
+    non-requested columns are never touched."""
+    import json as _json
+
+    import numpy as np
+
     fields = fields or CSV_DEFAULT_FIELDS
-    out: dict[str, list[str]] = {f: [] for f in fields}
-    for r in batch.to_pylist():
-        import json as _json
-        for field in fields:
-            value = r.get(field, "")
-            if field == "analytics" and isinstance(value, dict):
-                parts = []
-                if value.get("gtag") or value.get("ga4_id"):
-                    parts.append("GA4")
-                if value.get("google_analytics"):
-                    parts.append("GA")
-                if value.get("gtm_id"):
-                    parts.append("GTM")
-                if value.get("facebook_pixel"):
-                    parts.append("FB")
-                if value.get("hotjar"):
-                    parts.append("HJ")
-                if value.get("mixpanel"):
-                    parts.append("MP")
-                cell = ", ".join(parts)
-            elif field in ("og_tags", "twitter_tags"):
-                d = dict(value or [])
-                cell = f"{len(d)} tags" if d else ""
-            elif field == "json_ld":
-                items = _json.loads(value) if isinstance(value, str) else (value or [])
-                cell = f"{len(items)} scripts" if items else ""
-            elif field == "images":
-                cell = f"{len(value)} images" if value else ""
-            elif field == "internal_links":
-                cell = f"{int(value)} internal links" if value else "0 internal links"
-            elif field == "external_links":
-                cell = f"{int(value)} external links" if value else "0 external links"
-            elif field in ("h2", "h3") and isinstance(value, list):
-                cell = ", ".join(value[:3]) + ("..." if len(value) > 3 else "")
-            elif isinstance(value, (dict, list)):
-                cell = str(value)
-            else:
-                cell = "" if value is None else str(value)
-            out[field].append(cell)
+    n = len(batch)
+    names = set(batch.column_names)
+    out: dict[str, list[str]] = {}
+    for field in fields:
+        if field not in names:
+            out[field] = [""] * n
+            continue
+        col = batch[field]
+        if field == "analytics":
+            st = col.combine_chunks()
+            flags = [("GA4", [st.field("gtag"), st.field("ga4_id")]),
+                     ("GA", [st.field("google_analytics")]),
+                     ("GTM", [st.field("gtm_id")]),
+                     ("FB", [st.field("facebook_pixel")]),
+                     ("HJ", [st.field("hotjar")]),
+                     ("MP", [st.field("mixpanel")])]
+            sets: list[list[str]] = [[] for _ in range(n)]
+            for label, arrs in flags:
+                on = np.zeros(n, dtype=bool)
+                for a in arrs:
+                    v = a.to_numpy(zero_copy_only=False)
+                    on |= np.array([bool(x) for x in v])
+                for i in np.nonzero(on)[0]:
+                    sets[i].append(label)
+            out[field] = [", ".join(s) for s in sets]
+        elif field in ("og_tags", "twitter_tags"):
+            # dict() collapses duplicate keys -> count distinct keys
+            cells = []
+            for pairs in col.to_pylist():
+                d = dict(pairs or [])
+                cells.append(f"{len(d)} tags" if d else "")
+            out[field] = cells
+        elif field == "json_ld":
+            cells = []
+            for s in col.to_pylist():
+                items = _json.loads(s) if isinstance(s, str) else (s or [])
+                cells.append(f"{len(items)} scripts" if items else "")
+            out[field] = cells
+        elif field == "images":
+            la = col.combine_chunks()
+            lens = pa.compute.list_value_length(la).to_numpy(zero_copy_only=False)
+            out[field] = [f"{int(k)} images" if k else "" for k in lens]
+        elif field in ("internal_links", "external_links"):
+            word = field.split("_")[0]
+            vals = col.to_numpy(zero_copy_only=False)
+            out[field] = [f"{int(v) if v else 0} {word} links" for v in vals]
+        elif field in ("h2", "h3"):
+            cells = []
+            for value in col.to_pylist():
+                if isinstance(value, list):
+                    cells.append(", ".join(value[:3])
+                                 + ("..." if len(value) > 3 else ""))
+                else:
+                    cells.append("" if value is None else str(value))
+            out[field] = cells
+        else:
+            cells = []
+            for value in col.to_pylist():
+                if isinstance(value, (dict, list)):
+                    cells.append(str(value))
+                else:
+                    cells.append("" if value is None else str(value))
+            out[field] = cells
     return pa.table({f: pa.array(out[f], pa.string()) for f in fields})
 
 
@@ -237,6 +269,45 @@ def viz_graph(pages_df: pd.DataFrame, links_df: pd.DataFrame,
             dst_ids.append(d)
     edges = pd.DataFrame({"source": src_ids, "target": dst_ids})
     return nodes, edges
+
+
+def viz_edges_distributed(pages_ds, links_ds, max_nodes: int = 500) -> pd.DataFrame:
+    """J4 edges at scale: only the ≤``max_nodes`` node table touches the
+    driver (bounded by construction, main.py:826-890); the url→node-id map
+    is broadcast and the links table — which dwarfs pages — is filtered and
+    projected inside map_batches, deduped on the tiny surviving id pairs."""
+    import ray
+
+    head = (pages_ds.select_columns(["url", "rank"])
+            .sort("rank").limit(max_nodes).to_pandas())
+    url_to_id = {u: f"node-{i}" for i, u in enumerate(head["url"])}
+    map_ref = ray.put(url_to_id)
+
+    class EdgeProject:
+        def __init__(self, ref):
+            self.ids = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = self.ids
+            src, dst = [], []
+            for s, d, internal in zip(batch["source_url"].to_pylist(),
+                                      batch["target_url"].to_pylist(),
+                                      batch["is_internal"].to_pylist()):
+                if not internal:
+                    continue
+                si = ids.get(s)
+                di = ids.get(d)
+                if si and di and si != di:
+                    src.append(si)
+                    dst.append(di)
+            return pa.table({"source": pa.array(src, pa.string()),
+                             "target": pa.array(dst, pa.string())})
+
+    edges = (links_ds.select_columns(["source_url", "target_url", "is_internal"])
+             .map_batches(EdgeProject, fn_constructor_args=(map_ref,),
+                          batch_format="pyarrow", concurrency=(1, 4))
+             .to_pandas())
+    return edges.drop_duplicates().reset_index(drop=True)
 
 
 def rebuild_frontier_from_links(pages_ds, links_ds) -> pd.DataFrame:

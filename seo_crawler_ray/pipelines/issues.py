@@ -104,11 +104,15 @@ def detect_page_issues(result: dict) -> list[dict]:
         add("warning", "Accessibility", "Missing Language Attribute",
             "HTML tag has no lang attribute")
 
-    images = result.get("images", [])
-    images_without_alt = [img for img in images if not img.get("alt")]
-    if images_without_alt:
+    if "n_images" in result:        # precomputed by the vectorized stage
+        n_img, n_noalt = result["n_images"], result["images_without_alt"]
+    else:
+        images = result.get("images", [])
+        n_img = len(images)
+        n_noalt = sum(1 for img in images if not img.get("alt"))
+    if n_noalt:
         add("warning", "Accessibility", "Images Without Alt Text",
-            f"{len(images_without_alt)} of {len(images)} images lack alt text")
+            f"{n_noalt} of {n_img} images lack alt text")
 
     if not result.get("og_tags"):
         add("warning", "Social", "Missing OpenGraph Tags",

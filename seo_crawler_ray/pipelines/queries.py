@@ -28,7 +28,7 @@ import ray.data
 
 from ..functions.urls import canonicalize
 from ..sources.cache import DUP_SUBSET, corpus_dir, crawl_dir, flagship_config
-from . import analysis, embedops, events, textops
+from . import analysis, arrowutil, embedops, events, textops
 
 SF01 = "/root/testdata/sf0.01"
 
@@ -79,47 +79,35 @@ _PAGE_PROJ_COLS = [
 
 
 def _project_pages(batch: pa.Table) -> pa.Table:
-    rows = batch.to_pylist()
-    out: dict[str, list] = {c: [] for c in _PAGE_PROJ_COLS}
-    for r in rows:
-        og = dict(r["og_tags"] or [])
-        tw = dict(r["twitter_tags"] or [])
-        a = r["analytics"]
-        imgs = r["images"] or []
-        out["url"].append(r["url"])
-        out["seq"].append(r["rank"] + 1)
-        out["depth"].append(r["depth"])
-        out["status_code"].append(r["status_code"])
-        out["content_type"].append(r["content_type"])
-        out["size"].append(r["size"])
-        out["is_internal"].append(r["is_internal"])
-        out["title"].append(r["title"])
-        out["meta_description"].append(r["meta_description"])
-        out["h1"].append(r["h1"])
-        out["h2_joined"].append(" | ".join(r["h2"] or []))
-        out["h3_joined"].append(" | ".join(r["h3"] or []))
-        out["word_count"].append(r["word_count"])
-        out["lang"].append(r["lang"])
-        out["charset"].append(r["charset"])
-        out["viewport"].append(r["viewport"])
-        out["robots"].append(r["robots"])
-        out["author"].append(r["author"])
-        out["keywords"].append(r["keywords"])
-        out["generator"].append(r["generator"])
-        out["theme_color"].append(r["theme_color"])
-        out["canonical_url"].append(r["canonical_url"])
-        out["og_title"].append(og.get("title", ""))
-        out["og_author"].append(og.get("author", ""))
-        out["twitter_card"].append(tw.get("card", ""))
-        out["json_ld_count"].append(len(json.loads(r["json_ld"] or "[]")))
-        out["schema_org_count"].append(len(json.loads(r["schema_org"] or "[]")))
-        out["n_images"].append(len(imgs))
-        out["images_without_alt"].append(sum(1 for im in imgs if not im["alt"]))
-        out["internal_links"].append(r["internal_links"])
-        out["external_links"].append(r["external_links"])
-        out["ga4_id"].append(a["ga4_id"])
-        out["gtm_id"].append(a["gtm_id"])
-    return pa.table(out)
+    """Arrow pass-through for the scalar columns; only the nested columns
+    (og/twitter maps, images list, json_ld/schema_org payloads) get decoded,
+    and those via offset arithmetic, not a per-row dict loop."""
+    cols: dict[str, object] = {}
+    for name in ("url", "depth", "status_code", "content_type", "size",
+                 "is_internal", "title", "meta_description", "h1",
+                 "word_count", "lang", "charset", "viewport", "robots",
+                 "author", "keywords", "generator", "theme_color",
+                 "canonical_url", "internal_links", "external_links"):
+        cols[name] = batch[name]
+    cols["seq"] = pa.compute.add(batch["rank"], 1)
+    cols["h2_joined"] = pa.compute.binary_join(batch["h2"], " | ")
+    cols["h3_joined"] = pa.compute.binary_join(batch["h3"], " | ")
+    cols["og_title"] = arrowutil.map_col_get(batch["og_tags"], "title")
+    cols["og_author"] = arrowutil.map_col_get(batch["og_tags"], "author")
+    cols["twitter_card"] = arrowutil.map_col_get(batch["twitter_tags"], "card")
+    cols["json_ld_count"] = arrowutil.json_item_counts(batch["json_ld"])
+    cols["schema_org_count"] = arrowutil.json_item_counts(batch["schema_org"])
+    n_images, img_off = arrowutil.list_counts(batch["images"])
+    cols["n_images"] = n_images
+    imgs = batch["images"].combine_chunks()
+    alt_empty = pa.compute.equal(imgs.flatten().field("alt"), "") \
+        .to_numpy(zero_copy_only=False)
+    cols["images_without_alt"] = pa.array(
+        arrowutil.segment_sums(alt_empty, img_off))
+    analytics = batch["analytics"].combine_chunks()
+    cols["ga4_id"] = analytics.field("ga4_id")
+    cols["gtm_id"] = analytics.field("gtm_id")
+    return pa.table({c: cols[c] for c in _PAGE_PROJ_COLS})
 
 
 def q_crawl_pages(sf_dir: str):
@@ -355,13 +343,8 @@ def q_pagespeed_selection(sf_dir: str):
 
 
 def q_viz_edges(sf_dir: str):
-    from .exports import viz_graph
-    pages = _pages_ds(sf_dir).select_columns(
-        ["url", "rank", "status_code"]).to_pandas()
-    links = _links_ds(sf_dir).select_columns(
-        ["source_url", "target_url", "is_internal"]).to_pandas()
-    _nodes, edges = viz_graph(pages, links)
-    return edges
+    from .exports import viz_edges_distributed
+    return viz_edges_distributed(_pages_ds(sf_dir), _links_ds(sf_dir))
 
 
 def q_resume_rebuild(sf_dir: str):
@@ -418,24 +401,8 @@ def q_crawl_wave_metrics(sf_dir: str):
 
 def q_eeat_summary(sf_dir: str):
     """A6 aggregate half of the E-E-A-T plugin (e-e-a-t.js:302-380):
-    corpus-level score mean + per-signal counts."""
-    scores = analysis.eeat_scores(_pages_ds(sf_dir))
-    pdf = _pages_ds(sf_dir).map_batches(
-        _project_pages, batch_format="pyarrow").to_pandas()
-    n = len(pdf)
-    # JS Math.round is half-UP (e-e-a-t.js:372) — floor(x+0.5), not banker's
-    overall = int(np.floor(scores["score"].sum() / n + 0.5)) if n else 0
-    return pd.DataFrame({
-        "total_pages": [n],
-        "overall_score": [overall],
-        "pages_with_author": [int(((pdf["author"] != "") | (pdf["og_author"] != "")).sum())],
-        "pages_with_schema": [int((pdf["json_ld_count"] > 0).sum())],
-        "pages_with_external_links": [int((pdf["external_links"] > 0).sum())],
-        "pages_with_og": [int((pdf["og_title"] != "").sum())],
-        "secure_pages": [int(pdf["url"].str.startswith("https://").sum())],
-        "pages_with_good_content": [int((pdf["word_count"] >= 300).sum())],
-        "external_citations": [int(pdf["external_links"].sum())],
-    })
+    corpus-level score mean + per-signal counts as per-batch partials."""
+    return analysis.eeat_summary(_pages_ds(sf_dir))
 
 
 # --------------------------------------------- training-data operators ----
