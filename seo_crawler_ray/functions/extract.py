@@ -25,12 +25,16 @@ from __future__ import annotations
 
 import json
 import re
+from functools import lru_cache
 from urllib.parse import urljoin, urlparse
 
 from ..htmlparse.dom import Node, parse_html
 from .urls import canonicalize, strip_www
 
-_WORD_RE = re.compile(r"\b\w+\b")
+# every maximal \w+ run matches r'\b\w+\b' exactly once, so the count is
+# identical to the reference's len(findall(r'\b\w+\b')) minus the \b
+# lookaround cost (seo_extractor.py:32-34)
+_WORD_RE = re.compile(r"\w+")
 _OG_RE = re.compile(r"^og:")
 _TWITTER_RE = re.compile(r"^twitter:")
 _GA4_RE = re.compile(r"G-[A-Z0-9]{10}")
@@ -145,6 +149,25 @@ def extract_page(
     return result, link_records, outlinks
 
 
+@lru_cache(maxsize=1 << 16)
+def _page_origin(page_url: str) -> str:
+    p = urlparse(page_url)
+    return f"{p.scheme}://{p.netloc}"
+
+
+@lru_cache(maxsize=1 << 17)
+def _resolve_cached(base: str, href: str):
+    """urljoin+urlparse+clean-url, memoized worker-wide. ``base`` is '' for
+    absolute hrefs, the page origin for root-/scheme-relative ones, and the
+    full page URL otherwise — exactly the inputs urljoin depends on, so the
+    result is byte-identical to urljoin(page_url, href) in every case."""
+    parsed = urlparse(urljoin(base, href))
+    clean = f"{parsed.scheme}://{parsed.netloc}{parsed.path}"
+    if parsed.query:
+        clean += f"?{parsed.query}"
+    return parsed, clean
+
+
 def _links_fused(soup, page_url: str, base_domain: str,
                  result: dict) -> tuple[list[dict], list[tuple[str, str]]]:
     """One pass over the anchors computing link counts (M11,
@@ -156,18 +179,18 @@ def _links_fused(soup, page_url: str, base_domain: str,
     against the unfused functions."""
     base_clean = strip_www(base_domain)
     anchors = [a for a in soup.find_all("a") if a.has_attr("href")]
-    memo: dict[str, tuple] = {}
+    origin = _page_origin(page_url)
 
     def resolved(href: str):
-        hit = memo.get(href)
-        if hit is None:
-            parsed = urlparse(urljoin(page_url, href))
-            clean = f"{parsed.scheme}://{parsed.netloc}{parsed.path}"
-            if parsed.query:
-                clean += f"?{parsed.query}"
-            hit = (parsed, clean)
-            memo[href] = hit
-        return hit
+        # absolute and root-/scheme-relative hrefs resolve identically for
+        # every page of the same origin, so the worker-wide LRU hits across
+        # pages (nav/footer links repeat site-wide); only path-relative
+        # hrefs key on the full page URL
+        if href.startswith(("http://", "https://")):
+            return _resolve_cached("", href)
+        if href.startswith("/"):
+            return _resolve_cached(origin, href)
+        return _resolve_cached(page_url, href)
 
     records: list[dict] = []
     outlinks: list[tuple[str, str]] = []
@@ -224,9 +247,9 @@ def _basic_seo(soup: Node, result: dict) -> None:
     result["h2"] = [h.get_text().strip() for h in soup.find_all("h2", limit=10)]
     result["h3"] = [h.get_text().strip() for h in soup.find_all("h3", limit=10)]
 
-    # match-count without materializing the token strings (same count as
-    # len(re.findall(r'\b\w+\b', text)), seo_extractor.py:32-34)
-    result["word_count"] = sum(1 for _ in _WORD_RE.finditer(soup.get_text()))
+    # same count as the reference's len(re.findall(r'\b\w+\b', text)),
+    # seo_extractor.py:32-34; findall runs the scan loop in C
+    result["word_count"] = len(_WORD_RE.findall(soup.get_text()))
 
     html_tag = soup.find("html")
     result["lang"] = html_tag.get("lang", "") if html_tag else ""

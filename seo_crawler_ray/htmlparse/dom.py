@@ -245,21 +245,179 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
             self.text_parts.append(data)
 
+    def updatepos(self, i, j):
+        # line/column tracking is unused (no getpos() callers); skip the
+        # newline-count walk _markupbase does — contract is "return j"
+        return j
+
     # comments, PIs, declarations: ignored (not part of get_text)
+
+
+# --------------------------------------------------------- fast scanner --
+# Reuse html.parser's own compiled regexes for tag-name / attribute / tag-end
+# tolerance so attribute parsing is byte-identical to the stdlib path.
+import re as _re
+from html import unescape as _unescape
+from html.parser import (attrfind_tolerant as _ATTR,
+                         locatestarttagend_tolerant as _STARTEND,
+                         tagfind_tolerant as _TAGNAME)
+
+_ENDTAG = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_CDATA_CLOSE = {
+    t: _re.compile(rf"</\s*{t}", _re.IGNORECASE)
+    for t in ("script", "style")
+}
+CDATA_CONTENT_ELEMENTS = ("script", "style")
+
+
+class _FastTreeBuilder:
+    """Regex scanner emitting the same events as ``_TreeBuilder`` on
+    html.parser (convert_charrefs=True): one data call per inter-tag text
+    span (charrefs converted except inside script/style CDATA), stdlib
+    regexes for start-tag/attribute tolerance, comments/declarations/PIs
+    skipped. ~3x faster than html.parser's goahead; the stdlib builder
+    remains the reference and a parity test diffs the two over the corpus
+    and adversarial snippets."""
+
+    __slots__ = ("root", "stack", "by_tag", "elements", "text_parts")
+
+    def __init__(self):
+        self.root = Node("[document]", {}, None)
+        self.stack = [self.root]
+        self.by_tag: dict[str, list[Node]] = {}
+        self.elements: list[Node] = []
+        self.text_parts: list[str] = []
+
+    def _data(self, data: str, convert: bool) -> None:
+        if not data:
+            return
+        if convert and "&" in data:
+            data = _unescape(data)
+        self.stack[-1].children.append(data)
+        self.text_parts.append(data)
+
+    def _start(self, tag: str, attrs: dict, self_closing: bool) -> None:
+        node = Node(tag, attrs, self.stack[-1])
+        self.stack[-1].children.append(node)
+        self.elements.append(node)
+        bucket = self.by_tag.get(tag)
+        if bucket is None:
+            self.by_tag[tag] = [node]
+        else:
+            bucket.append(node)
+        if not self_closing and tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def _end(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        stack = self.stack
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].name == tag:
+                del stack[i:]
+                return
+
+    def feed(self, s: str) -> None:
+        pos = 0
+        n = len(s)
+        find = s.find
+        while pos < n:
+            lt = find("<", pos)
+            if lt < 0:
+                self._data(s[pos:], True)
+                break
+            if lt > pos:
+                self._data(s[pos:lt], True)
+            nxt = s[lt + 1] if lt + 1 < n else ""
+            if nxt == "/":
+                m = _ENDTAG.match(s, lt)
+                if m:
+                    self._end(m.group(1).lower())
+                    pos = m.end()
+                else:                      # bogus end tag -> skip to '>'
+                    gt = find(">", lt)
+                    pos = n if gt < 0 else gt + 1
+            elif nxt.isalpha():
+                pos = self._parse_starttag(s, lt, n, find)
+            elif s.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                pos = n if end < 0 else end + 3
+            elif nxt in ("!", "?"):
+                gt = find(">", lt)
+                pos = n if gt < 0 else gt + 1
+            else:                          # lone '<' is text
+                self._data("<", False)
+                pos = lt + 1
+
+    def _parse_starttag(self, s: str, lt: int, n: int, find) -> int:
+        endm = _STARTEND.match(s, lt)
+        gtpos = find(">", endm.end() if endm else lt + 1)
+        if gtpos < 0:                      # EOF inside tag: stdlib close()
+            self._data(s[lt:], True)       # flushes the tail converted
+            return n
+        endpos = gtpos + 1
+        m = _TAGNAME.match(s, lt + 1)
+        tag = m.group(1).lower()
+        attrs: dict = {}
+        k = m.end()
+        while k < endpos:
+            am = _ATTR.match(s, k)
+            if not am:
+                break
+            name, _eq, value = am.group(1, 2, 3)
+            if value is None:
+                value = ""
+            else:
+                if value[:1] in ("'", '"') and value[:1] == value[-1:]:
+                    value = value[1:-1]
+                if "&" in value:
+                    value = _unescape(value)
+            name = name.lower()
+            if name not in attrs:          # first occurrence wins
+                attrs[name] = value
+            k = am.end()
+        rest = s[k:endpos].strip()
+        if rest not in (">", "/>"):        # junk in tag: stdlib emits as data
+            self._data(s[lt:endpos], False)
+            return endpos
+        self_closing = rest == "/>"
+        self._start(tag, attrs, self_closing)
+        pos = endpos
+        if not self_closing and tag in CDATA_CONTENT_ELEMENTS:
+            cm = _CDATA_CLOSE[tag].search(s, pos)
+            if cm:
+                self._data(s[pos:cm.start()], False)
+                em2 = _ENDTAG.match(s, cm.start())
+                self._end(tag)
+                pos = em2.end() if em2 else find(">", cm.start()) + 1
+            else:                          # unterminated CDATA: rest is data
+                self._data(s[pos:], False)
+                pos = n
+        return pos
 
 
 def parse_html(content: bytes | str) -> Node:
     """Parse HTML bytes/str into a Node tree (document root)."""
     if isinstance(content, (bytes, bytearray)):
         content = content.decode("utf-8", errors="replace")
-    builder = _TreeBuilder()
+    builder = _FastTreeBuilder()
     builder.feed(content)
-    builder.close()
     return builder.root
 
 
 def parse_html_indexed(content: bytes | str) -> IndexedDoc:
     """Parse straight into an IndexedDoc (hot path: no post-parse walk)."""
+    if isinstance(content, (bytes, bytearray)):
+        content = content.decode("utf-8", errors="replace")
+    builder = _FastTreeBuilder()
+    builder.feed(content)
+    return IndexedDoc(builder.root,
+                      _prebuilt=(builder.by_tag, builder.elements,
+                                 "".join(builder.text_parts)))
+
+
+def parse_html_stdlib(content: bytes | str) -> IndexedDoc:
+    """Reference path on stdlib html.parser — kept for parity testing."""
     if isinstance(content, (bytes, bytearray)):
         content = content.decode("utf-8", errors="replace")
     builder = _TreeBuilder()

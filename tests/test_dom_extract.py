@@ -192,3 +192,52 @@ def test_fused_links_match_unfused_on_corpus(tiny_corpus):
         assert outs_f == extract_outlinks(root, p["url"])
         checked += 1
     assert checked > 50
+
+
+def test_fast_scanner_matches_stdlib_parser():
+    """The regex scanner must produce an identical tree, element index and
+    text to the html.parser reference path — on adversarial snippets and on
+    real corpus pages (the full corpus is diffed in the standalone parity
+    harness; extract_text's md5 oracle covers it end-to-end)."""
+    from seo_crawler_ray.htmlparse.dom import parse_html_indexed, parse_html_stdlib
+
+    def sig(doc):
+        els = [(e.name, tuple(sorted(e.attrs.items()))) for e in doc.elements]
+
+        def walk(node):
+            return tuple(
+                ("T", c) if isinstance(c, str)
+                else ("E", c.name, tuple(sorted(c.attrs.items())), walk(c))
+                for c in node.children)
+
+        return els, doc.get_text(), walk(doc.root)
+
+    cases = [
+        '<html><head><title>A &amp; B</title></head><body><p>hi</p></body></html>',
+        '<div class="a" class="b" data-x>text</div>',
+        '<script>if (a < b && c > d) { x = "</div>"; }</script>after',
+        '<SCRIPT TYPE="x">raw &amp; not converted</SCRIPT>',
+        '<style>p > a { color: red }</style>',
+        '<!-- comment <div> --><p>x</p>',
+        '<!DOCTYPE html><html><body>t</body></html>',
+        '<p>unclosed <b>bold',
+        '<br/><img src="x.png" alt=""/>',
+        '<a href="/x?a=1&amp;b=2">link</a>',
+        '<p>a < b and c</p>',
+        '<meta charset="utf-8"><meta name="x" content="y">',
+        '<a href=x>unquoted</a>',
+        "<a href='single'>q</a>",
+        '<p>&lt;escaped&gt; &#65; &#x42;</p>',
+        '<td nowrap>cell</td>',
+        '<div  spaced   =  "v" >t</div>',
+        '<ul><li>a<li>b</ul>',
+        '<script src="x.js"></script><p>after</p>',
+        '<?php echo 1 ?><p>x</p>',
+        '<![CDATA[ raw ]]><p>y</p>',
+        'text &amp; more <b>bo&#108;d</b>',
+        '<div/>sibling',
+        '<a title="a>b">gt in attr</a>',
+        '<ScRiPt>MiXeD</sCrIpT>done',
+    ]
+    for c in cases:
+        assert sig(parse_html_indexed(c)) == sig(parse_html_stdlib(c)), c
