@@ -49,8 +49,12 @@ class CrawlConfig:
         default_factory=lambda: list(DEFAULT_ISSUE_EXCLUSION_PATTERNS))
 
     # Ray engine knobs (no reference equivalent)
-    corpus_mode: str = "broadcast"  # "broadcast" (fits object store) or
-                                    # "bucketed" (hash(url)%B parquet buckets)
+    corpus_mode: str = "auto"      # "auto" picks by corpus size: "broadcast"
+                                   # (one ray.put, fits object store) below
+                                   # corpus_broadcast_limit bytes on disk,
+                                   # else "bucketed" (hash(url)%B parquet
+                                   # buckets fetched per batch)
+    corpus_broadcast_limit: int = 2 << 30
     corpus_buckets: int = 64
     seen_shards: int = 8           # URL-seen actor shards; scale with cluster size
     seen_capacity: int = 1 << 20   # per-shard cuckoo capacity; 10^10-URL deployments size this up

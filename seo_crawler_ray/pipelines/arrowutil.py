@@ -54,6 +54,14 @@ def segment_sums(flags: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return csum[offsets[1:]] - csum[offsets[:-1]]
 
 
+def round_half_up(x: np.ndarray) -> np.ndarray:
+    """DuckDB ROUND (half away from zero) as int64 — np.round/pc.round are
+    banker's (half-to-even), the exact trap CLAUDE.md flags for cents
+    integerization. Sign-aware so negatives match too."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+
+
 def bool_np(arr) -> np.ndarray:
     """Arrow boolean -> numpy bool ndarray (nulls become False)."""
     return pc.fill_null(arr, False).to_numpy(zero_copy_only=False).astype(bool)

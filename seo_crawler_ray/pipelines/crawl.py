@@ -148,7 +148,16 @@ class CrawlJob:
         self.base_domain = base_domain
 
         robots = RobotsIndex.from_parquet(os.path.join(self.corpus_dir, "robots.parquet"))
-        if cfg.corpus_mode == "bucketed":
+        corpus_mode = cfg.corpus_mode
+        if corpus_mode == "auto":
+            # broadcast (one ray.put, zero per-batch fetch cost) while the
+            # corpus fits comfortably in the object store; bucketed parquet
+            # fetch beyond that — at 100 TB bucketed is always selected
+            on_disk = os.path.getsize(os.path.join(self.corpus_dir,
+                                                   "pages.parquet"))
+            corpus_mode = ("bucketed" if on_disk > cfg.corpus_broadcast_limit
+                           else "broadcast")
+        if corpus_mode == "bucketed":
             from ..sources.corpus_store import build_bucketed_store
             store = build_bucketed_store(
                 self.corpus_dir, os.path.join(self.corpus_dir, "bucketed"),
@@ -250,7 +259,13 @@ class CrawlJob:
     def _stage_frontier_table(self, tbl: pa.Table, next_dir: str) -> None:
         """Write a driver-built frontier as K parquet parts (the durable
         checkpoint) and stage the same parts in the object store so the next
-        wave's extract reads from memory with K-way parallelism."""
+        wave's extract reads from memory with K-way parallelism.
+
+        The destination is cleared first: a crash between frontier write and
+        _WAVE_OK can leave parts from a previous attempt with a different
+        layout, and frontier readers union every part in the dir."""
+        import shutil
+        shutil.rmtree(next_dir, ignore_errors=True)
         os.makedirs(next_dir, exist_ok=True)
         n = tbl.num_rows
         k_parts = max(1, min(self._cpu_budget() * 2,
@@ -377,16 +392,22 @@ class CrawlJob:
             ordered_ds = self._priority_order_distributed(fresh)
         else:
             ordered_ds = fresh.sort("key")
-        ordered = ordered_ds.limit(remaining) if remaining else fresh.limit(0)
-        mat = ordered.materialize()
-        if self.mode == "priority":
-            mat = mat.drop_columns(["deadline", "neg_priority"]).materialize()
+        if remaining:
+            mat = ordered_ds.limit(remaining).materialize()
+            if self.mode == "priority":
+                # only the priority path added these columns; the budget-
+                # exhausted branch below never had them
+                mat = mat.drop_columns(["deadline", "neg_priority"]).materialize()
+        else:
+            mat = fresh.limit(0).materialize()
 
         refs = mat.to_arrow_refs()
         counts = ray.get([_count_rows.remote(r) for r in refs])
         offsets = (np.concatenate(([0], np.cumsum(counts)[:-1]))
                    + rank_offset) if counts else []
         next_dir = self._p("frontier", f"wave={wave + 1}")
+        import shutil
+        shutil.rmtree(next_dir, ignore_errors=True)  # no stale-part mixing
         pairs = [
             _rank_write_block.remote(r, int(o), os.path.join(
                 next_dir, f"part-{i:05d}.parquet"))
@@ -416,26 +437,29 @@ class CrawlJob:
         serialize a single map_groups task. Within a salt bucket deadlines
         stay per-host monotone; across buckets they interleave — an accepted
         approximation for a scheduling *hint* (exact FIFO parity lives in
-        mode='parity')."""
+        mode='parity').
+
+        Driver memory stays O(hot hosts), not O(hosts): the hot set comes
+        from a threshold-filtered aggregate (small by definition), and each
+        group task resolves its own host's politeness base (one shard RPC)
+        and crawl-delay (broadcast robots index) instead of the driver
+        prebuilding all-host dicts."""
         import zlib as _zlib
 
-        counts = fresh.groupby("host").count().take_all()
-        hosts = [r["host"] for r in counts]
-        hot = {r["host"] for r in counts
-               if r["count()"] > self.config.hot_host_threshold}
-        per_shard: dict[int, list[str]] = {}
-        for h in hosts:
-            per_shard.setdefault(host_shard(h, len(self._politeness)), []).append(h)
-        bases: dict[str, float] = {}
-        for s, hs in per_shard.items():
-            bases.update(ray.get(self._politeness[s].get_bases.remote(hs)))
-        delays = {h: self._robots.crawl_delay(self.config.user_agent, h,
-                                              default=self.config.delay)
-                  for h in hosts}
-        info_ref = ray.put({"bases": bases, "delays": delays, "hot": hot,
-                            "salt": self.config.hot_host_salt})
+        thr = self.config.hot_host_threshold
+        hot_rows = (fresh.groupby("host").count().map_batches(
+            lambda b: b.filter(pa.compute.greater(b["count()"], thr)),
+            batch_format="pyarrow").take_all())
+        hot = {r["host"] for r in hot_rows}
+        robots_ref = ray.put(self._robots)
+        info_ref = ray.put({
+            "hot": hot, "salt": self.config.hot_host_salt,
+            "ua": self.config.user_agent, "default_delay": self.config.delay,
+            "politeness": list(self._politeness),
+            "n_shards": len(self._politeness),
+        })
 
-        def add_salt(batch: pa.Table, info=None) -> pa.Table:
+        def add_salt(batch: pa.Table) -> pa.Table:
             info = ray.get(info_ref)
             hot_set, salt = info["hot"], info["salt"]
             salts = [(_zlib.crc32(u.encode()) % salt) if h in hot_set else 0
@@ -443,11 +467,16 @@ class CrawlJob:
                                      batch["host"].to_pylist())]
             return batch.append_column("_salt", pa.array(salts, pa.int32()))
 
-        def assign_deadlines(g, info=ray.get(info_ref)):
+        def assign_deadlines(g):
+            info = ray.get(info_ref)
+            robots = ray.get(robots_ref)
             g = g.sort_values("key").reset_index(drop=True)
             h = g["host"].iloc[0]
-            base = info["bases"].get(h, 0.0)
-            delay = info["delays"].get(h, self.config.delay) or self.config.delay
+            shard = info["politeness"][host_shard(h, info["n_shards"])]
+            base = ray.get(shard.get_bases.remote([h])).get(h, 0.0)
+            delay = robots.crawl_delay(info["ua"], h,
+                                       default=info["default_delay"]) \
+                or info["default_delay"]
             g["deadline"] = base + np.arange(len(g)) * delay
             g["neg_priority"] = -1.0 / (1.0 + g["depth"].astype(float))
             return g
@@ -596,11 +625,15 @@ class CrawlJob:
                      for i, p in enumerate(politeness)])
         with open(self._p(f"metrics_wave_{last}.json")) as f:
             crawled_total = json.load(f)["crawled_total"]
-        # discard any partial output beyond the last complete wave
-        for sub in ("pages", "links"):
+        # discard any partial output beyond the last complete wave — pages/
+        # links beyond `last`, and frontier parts beyond the resume wave
+        # `last+1` (a crash during wave last+1 can have staged a partial
+        # wave=last+2 frontier; readers union every part in a wave dir)
+        import shutil
+        for sub, keep in (("pages", last), ("links", last),
+                          ("frontier", last + 1)):
             for wdir in os.listdir(self._p(sub)) if os.path.isdir(self._p(sub)) else []:
-                if int(wdir.split("=")[1]) > last:
-                    import shutil
+                if int(wdir.split("=")[1]) > keep:
                     shutil.rmtree(self._p(sub, wdir))
         return last + 1, crawled_total
 

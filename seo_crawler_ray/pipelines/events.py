@@ -19,6 +19,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from .arrowutil import round_half_up
+
 WINDOW_SEC = 3600
 SESSION_GAP_SEC = 1800
 
@@ -29,7 +31,7 @@ def _window_partials(batch: pa.Table) -> pa.Table:
     win = pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), WINDOW_SEC)),
                   pa.int64())
     # cents ints, not float sums: bitwise-exact aggregation vs the SQL oracle
-    cents = np.round(np.asarray(batch["value"].to_pylist()) * 100).astype(np.int64)
+    cents = round_half_up(np.asarray(batch["value"].to_pylist()) * 100)
     df = pd.DataFrame({
         "event_type": batch["event_type"].to_pandas(),
         "window_id": win.to_pandas(),
@@ -62,7 +64,7 @@ def sliding_window(events_ds, size_sec: int = WINDOW_SEC,
     def partials(batch: pa.Table) -> pa.Table:
         epoch = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
         base = np.asarray(epoch.to_pylist(), dtype=np.int64) // slide_sec
-        cents = np.round(np.asarray(batch["value"].to_pylist()) * 100).astype(np.int64)
+        cents = round_half_up(np.asarray(batch["value"].to_pylist()) * 100)
         types = batch["event_type"].to_pandas()
         frames = []
         for i in range(k):
@@ -118,7 +120,7 @@ def event_type_stats(events_ds) -> pd.DataFrame:
     """Simple grouped aggregate surface (count/sum/min/max per type)."""
 
     def add_cents(batch: pa.Table) -> pa.Table:
-        cents = np.round(np.asarray(batch["value"].to_pylist()) * 100).astype(np.int64)
+        cents = round_half_up(np.asarray(batch["value"].to_pylist()) * 100)
         return batch.append_column("cents", pa.array(cents))
 
     out = events_ds.map_batches(add_cents, batch_format="pyarrow") \

@@ -497,10 +497,10 @@ def q_lineitem_pricing(sf_dir: str):
 
     def partials(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["qty_c"] = np.round(df["l_quantity"] * 100).astype(np.int64)
-        df["price_c"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        df["qty_c"] = arrowutil.round_half_up(df["l_quantity"].to_numpy() * 100)
+        df["price_c"] = arrowutil.round_half_up(df["l_extendedprice"].to_numpy() * 100)
         disc_price = df["l_extendedprice"] * (1 - df["l_discount"])
-        df["disc_c"] = np.round(disc_price * 10000).astype(np.int64)
+        df["disc_c"] = arrowutil.round_half_up(disc_price.to_numpy() * 10000)
         g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
             part_n=("qty_c", "size"), part_qty=("qty_c", "sum"),
             part_price=("price_c", "sum"), part_disc=("disc_c", "sum"),
@@ -535,10 +535,10 @@ def q_orders_by_region(sf_dir: str):
     def attach(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
         names = [lookup.get(k, "") for k in batch["o_custkey"].to_pylist()]
-        cents = pa.compute.round(pa.compute.multiply(batch["o_totalprice"], 100))
-        cents = cents.combine_chunks() if isinstance(cents, pa.ChunkedArray) else cents
+        cents = arrowutil.round_half_up(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
         return pa.table({"region": pa.array(names),
-                         "cents": cents.cast(pa.int64())})
+                         "cents": pa.array(cents)})
 
     orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                                    columns=["o_custkey", "o_totalprice"])
@@ -568,10 +568,10 @@ def q_orders_by_nation(sf_dir: str):
     def attach(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
         names = [lookup.get(k, "") for k in batch["o_custkey"].to_pylist()]
-        cents = pa.compute.round(pa.compute.multiply(batch["o_totalprice"], 100))
-        cents = cents.combine_chunks() if isinstance(cents, pa.ChunkedArray) else cents
+        cents = arrowutil.round_half_up(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
         return pa.table({"nation": pa.array(names),
-                         "cents": cents.cast(pa.int64())})
+                         "cents": pa.array(cents)})
 
     orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                                    columns=["o_custkey", "o_totalprice"])
@@ -598,9 +598,9 @@ def q_top_customers(sf_dir: str):
                                    columns=["o_custkey", "o_totalprice"])
 
     def cents(b: pa.Table) -> pa.Table:
-        c = pa.compute.round(pa.compute.multiply(b["o_totalprice"], 100))
-        col = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-        return b.append_column("cents", col.cast(pa.int64()))
+        cents = arrowutil.round_half_up(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
+        return b.append_column("cents", pa.array(cents))
 
     agg = orders.map_batches(cents, batch_format="pyarrow") \
         .groupby("o_custkey").aggregate(

@@ -3,7 +3,7 @@
 The driver hands query callables a TPC-H-style ``sf_dir``
 (/root/testdata/sfX); the crawl engine's input is the synthetic web corpus
 of ``corpus.py``, sized from the scale factor in the directory name
-(n_pages = 200_000 * sf, floor 200). Corpora, oracle-sim expected outputs
+(n_pages = 600_000 * sf, floor 200). Corpora, oracle-sim expected outputs
 and engine crawl outputs are generated once per scale under /tmp and reused
 across queries/tests — all deterministic (seed 42), built atomically
 (tmp dir + rename) so concurrent callers can't observe partial state.

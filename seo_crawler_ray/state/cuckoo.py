@@ -42,8 +42,11 @@ def _fingerprints(hashes: np.ndarray) -> np.ndarray:
 
 
 def _fp_hash(fp: np.ndarray | int) -> np.ndarray | int:
-    """Mixes a fingerprint into a bucket offset (partial-key cuckoo)."""
-    return (np.uint64(fp) * _FP_MULT) >> np.uint64(32)
+    """Mixes a fingerprint into a bucket offset (partial-key cuckoo).
+    The uint64 multiply wraps by design (modular mixing); silence numpy's
+    scalar-overflow RuntimeWarning on the evict-loop scalar path."""
+    with np.errstate(over="ignore"):
+        return (np.uint64(fp) * _FP_MULT) >> np.uint64(32)
 
 
 class CuckooFilter:
