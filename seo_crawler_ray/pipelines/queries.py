@@ -334,12 +334,73 @@ def q_export_links_rows(sf_dir: str):
                        "is_internal", "target_status", "placement"])
 
 
+_EXPORT_FIELDS = ["url", "status_code", "title", "word_count"]
+_EXPORT_DATE = "2025-01-01 00:00:00"  # injected for determinism (S11/S12)
+
+
+def q_export_pages_json(sf_dir: str):
+    """S11 (main.py:321-341): the real json_export runs per batch (field
+    filtering + envelope), decoded back to rows; envelope fields become
+    columns (export_date injected, total_urls = global count)."""
+    from .exports import json_export
+    ds = _pages_ds(sf_dir).select_columns(_EXPORT_FIELDS)
+    n = ds.count()
+
+    def proj(batch: pa.Table) -> pa.Table:
+        payload = json.loads(json_export(
+            batch.to_pylist(), list(_EXPORT_FIELDS), _EXPORT_DATE))
+        rows = payload["data"]
+        return pa.table({
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "status_code": pa.array([r["status_code"] for r in rows], pa.int64()),
+            "title": pa.array([r["title"] for r in rows], pa.string()),
+            "word_count": pa.array([r["word_count"] for r in rows], pa.int64()),
+            "export_date": pa.array([payload["export_date"]] * len(rows)),
+            "total_urls": pa.array([n] * len(rows), pa.int64()),
+        })
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def q_export_pages_xml(sf_dir: str):
+    """S12 (main.py:344-358): the real xml_export runs per batch; each
+    row's serialized <url> element is a value column the oracle rebuilds
+    with the same escaping rules (&/</> escaped, empty text self-closes)."""
+    import xml.etree.ElementTree as ET
+    from .exports import xml_export
+    ds = _pages_ds(sf_dir).select_columns(_EXPORT_FIELDS)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        doc = ET.fromstring(xml_export(
+            batch.to_pylist(), list(_EXPORT_FIELDS), _EXPORT_DATE))
+        urls, xml_rows = [], []
+        for url_el in doc.find("urls"):
+            urls.append(url_el.find("url").text or "")
+            xml_rows.append(ET.tostring(url_el, encoding="unicode"))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "xml_row": pa.array(xml_rows, pa.string())})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
 def q_pagespeed_selection(sf_dir: str):
     from .exports import select_pages_for_pagespeed
     pdf = _pages_ds(sf_dir).select_columns(
         ["url", "rank", "status_code", "is_internal"]).to_pandas()
     urls = select_pages_for_pagespeed(pdf)
     return pd.DataFrame({"slot": range(len(urls)), "url": urls})
+
+
+def q_pagespeed_results(sf_dir: str):
+    """O4 selection + the simulated PageSpeed API actor stage (retry/backoff
+    semantics of crawler.py:1350-1355 against the deterministic response
+    sidecar)."""
+    from .exports import select_pages_for_pagespeed
+    from ..stages.pagespeed import pagespeed_results
+    pdf = _pages_ds(sf_dir).select_columns(
+        ["url", "rank", "status_code", "is_internal"]).to_pandas()
+    urls = select_pages_for_pagespeed(pdf)
+    return pagespeed_results(urls, _corpus(sf_dir))
 
 
 def q_viz_edges(sf_dir: str):
@@ -641,7 +702,10 @@ def queries() -> dict:
         # export / read-path operators
         "export_pages_csv": q_export_pages_csv,
         "export_links_rows": q_export_links_rows,
+        "export_pages_json": q_export_pages_json,
+        "export_pages_xml": q_export_pages_xml,
         "pagespeed_selection": q_pagespeed_selection,
+        "pagespeed_results": q_pagespeed_results,
         "viz_edges": q_viz_edges,
         "resume_rebuild": q_resume_rebuild,
         "sitemap_expansion": q_sitemap_expansion,
@@ -774,6 +838,36 @@ FROM p WHERE contains(lower(robots), 'nofollow')
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(textops.STOPWORDS)) + "]"
 
 
+
+def _pagespeed_selection_sql(exp_pages: str) -> str:
+    return f"""
+            WITH p AS (
+              SELECT url, seq,
+                     COALESCE(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1),
+                              '') AS path
+              FROM read_parquet('{exp_pages}')
+              WHERE status_code = 200 AND is_internal),
+            home_root AS (SELECT url FROM p WHERE rtrim(path, '/') = ''
+                          ORDER BY seq LIMIT 1),
+            home_min AS (SELECT url FROM p
+                         ORDER BY length(rtrim(path, '/')), seq LIMIT 1),
+            homepage AS (
+              SELECT url FROM home_root
+              UNION ALL
+              SELECT url FROM home_min
+              WHERE NOT EXISTS (SELECT 1 FROM home_root)),
+            cats AS (
+              SELECT url, row_number() OVER (ORDER BY seq) AS rn
+              FROM (SELECT url, seq FROM p
+                    WHERE trim(path, '/') <> ''
+                      AND position('/' IN trim(path, '/')) = 0
+                      AND url NOT IN (SELECT url FROM homepage)
+                    ORDER BY seq LIMIT 2))
+            SELECT CAST(0 AS BIGINT) AS slot, url FROM homepage
+            UNION ALL
+            SELECT CAST(rn AS BIGINT) AS slot, url FROM cats"""
+
+
 def oracle_sql(sf_dir: str = SF01) -> dict:
     # building the corpus ensures the sidecar files exist before DuckDB runs;
     # it is pure Python (no Ray) and cached across calls
@@ -784,6 +878,8 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
 
     exp_pages = _cp("expected_pages.parquet")
     exp_links = _cp("expected_links.parquet")
+    from ..stages.pagespeed import ensure_pagespeed_sidecar
+    pagespeed_sidecar = ensure_pagespeed_sidecar(cdir)
 
     sql = {
         "crawl_pages": f"""
@@ -880,32 +976,50 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                         ELSE CAST(target_status AS VARCHAR) END AS target_status,
                    placement
             FROM read_parquet('{exp_links}')""",
-        "pagespeed_selection": f"""
-            WITH p AS (
-              SELECT url, seq,
-                     COALESCE(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1),
-                              '') AS path
-              FROM read_parquet('{exp_pages}')
-              WHERE status_code = 200 AND is_internal),
-            home_root AS (SELECT url FROM p WHERE rtrim(path, '/') = ''
-                          ORDER BY seq LIMIT 1),
-            home_min AS (SELECT url FROM p
-                         ORDER BY length(rtrim(path, '/')), seq LIMIT 1),
-            homepage AS (
-              SELECT url FROM home_root
-              UNION ALL
-              SELECT url FROM home_min
-              WHERE NOT EXISTS (SELECT 1 FROM home_root)),
-            cats AS (
-              SELECT url, row_number() OVER (ORDER BY seq) AS rn
-              FROM (SELECT url, seq FROM p
-                    WHERE trim(path, '/') <> ''
-                      AND position('/' IN trim(path, '/')) = 0
-                      AND url NOT IN (SELECT url FROM homepage)
-                    ORDER BY seq LIMIT 2))
-            SELECT CAST(0 AS BIGINT) AS slot, url FROM homepage
-            UNION ALL
-            SELECT CAST(rn AS BIGINT) AS slot, url FROM cats""",
+        "export_pages_json": f"""
+            SELECT url, CAST(status_code AS BIGINT) AS status_code, title,
+                   CAST(word_count AS BIGINT) AS word_count,
+                   '{_EXPORT_DATE}' AS export_date,
+                   (SELECT count(*) FROM read_parquet('{exp_pages}'))
+                       AS total_urls
+            FROM read_parquet('{exp_pages}')""",
+        "export_pages_xml": f"""
+            WITH esc AS (
+              SELECT url,
+                replace(replace(replace(url, '&', '&amp;'), '<', '&lt;'),
+                        '>', '&gt;') AS e_url,
+                replace(replace(replace(title, '&', '&amp;'), '<', '&lt;'),
+                        '>', '&gt;') AS e_title,
+                CAST(status_code AS VARCHAR) AS s_status,
+                CAST(word_count AS VARCHAR) AS s_wc
+              FROM read_parquet('{exp_pages}'))
+            SELECT url,
+              '<url>'
+              || CASE WHEN e_url = '' THEN '<url />'
+                      ELSE '<url>' || e_url || '</url>' END
+              || CASE WHEN s_status = '' THEN '<status_code />'
+                      ELSE '<status_code>' || s_status || '</status_code>' END
+              || CASE WHEN e_title = '' THEN '<title />'
+                      ELSE '<title>' || e_title || '</title>' END
+              || CASE WHEN s_wc = '' THEN '<word_count />'
+                      ELSE '<word_count>' || s_wc || '</word_count>' END
+              || '</url>' AS xml_row
+            FROM esc""",
+        "pagespeed_selection": _pagespeed_selection_sql(exp_pages),
+        "pagespeed_results": f"""
+            WITH sel AS ({{sel_sql}})
+            SELECT s.url, p.strategy,
+                   CAST(LEAST(p.fail_429, 3) + 1 AS BIGINT) AS attempts,
+                   CAST(CASE WHEN p.fail_429 <= 3
+                        THEN p.performance_score ELSE -1 END AS BIGINT)
+                       AS performance_score,
+                   CAST(CASE WHEN p.fail_429 <= 3
+                        THEN p.fcp_e2 ELSE -1 END AS BIGINT) AS fcp_e2,
+                   CAST(CASE WHEN p.fail_429 <= 3
+                        THEN p.lcp_e2 ELSE -1 END AS BIGINT) AS lcp_e2
+            FROM sel s JOIN read_parquet('{pagespeed_sidecar}') p
+                 ON s.url = p.url""".replace("{sel_sql}",
+                     _pagespeed_selection_sql(exp_pages)),
         "viz_edges": f"""
             WITH nodes AS (
               SELECT url, 'node-' || CAST(rn - 1 AS VARCHAR) AS node_id

@@ -103,3 +103,79 @@ def test_json_export_envelope():
     d = json.loads(s)
     assert d["total_urls"] == 1 and d["fields"] == ["url", "title"]
     assert d["data"] == [{"url": "u", "title": "t"}]
+
+
+def test_pagespeed_stage_retry_backoff(tmp_path):
+    """Simulated API: attempts = 429s+1 capped at retries+1; backoff grows
+    exponentially per attempt (2**a * jitter, jitter in [0.5, 1.5]);
+    exhausted retries yield a failure row, not an exception."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from seo_crawler_ray.stages.pagespeed import PageSpeedStage, _jitter
+
+    sidecar = tmp_path / "side.parquet"
+    urls = ["u0", "u1", "u2"]
+    pq.write_table(pa.table({
+        "url": urls * 2,
+        "strategy": ["mobile"] * 3 + ["desktop"] * 3,
+        "performance_score": [50, 60, 70] * 2,
+        "fcp_e2": [100, 110, 120] * 2,
+        "lcp_e2": [200, 210, 220] * 2,
+        "fail_429": [0, 2, 5] * 2,      # clean, 2 retries, hard failure
+    }), sidecar)
+
+    stage = PageSpeedStage(str(sidecar), urls, retries=3)
+    out = stage(pa.table({"url": urls})).to_pandas()
+    mob = out[out["strategy"] == "mobile"].set_index("url")
+    assert mob.loc["u0", "attempts"] == 1
+    assert mob.loc["u0", "performance_score"] == 50
+    assert mob.loc["u1", "attempts"] == 3           # two 429s then 200
+    assert mob.loc["u2", "attempts"] == 4           # retries exhausted
+    assert mob.loc["u2", "performance_score"] == -1
+    # backoff accounting: u1 mobile contributed 2**0*j0 + 2**1*j1, u2 adds
+    # three rounds; all jitters deterministic and within [0.5, 1.5]
+    expected = sum((2 ** a) * _jitter("u1", s, a) for s in ("mobile", "desktop") for a in range(2)) \
+        + sum((2 ** a) * _jitter("u2", s, a) for s in ("mobile", "desktop") for a in range(3))
+    assert abs(stage.backoff_clock - expected) < 1e-9
+    for s in ("mobile", "desktop"):
+        for a in range(3):
+            assert 0.5 <= _jitter("u2", s, a) <= 1.5
+
+
+def test_plugin_registry(ray_session):
+    """§2.10 plugin surface: built-ins registered; a user plugin gets a
+    column-pruned Dataset of its declared table and full Dataset API."""
+    import pandas as pd
+    import ray.data
+    from seo_crawler_ray.pipelines import plugins
+
+    assert {"eeat-scores", "eeat-summary", "status-counts",
+            "linked-from"} <= set(plugins.list_plugins())
+
+    seen_cols = {}
+
+    def word_histogram(ds):
+        seen_cols["cols"] = ds.schema().names
+        out = ds.map_batches(
+            lambda b: {"bucket": [wc // 100 for wc in b["word_count"]]},
+            batch_format="numpy")
+        return out.groupby("bucket").count().to_pandas()
+
+    plugins.register(plugins.AnalysisPlugin(
+        name="wc-hist", title="Word count histogram", table="pages",
+        columns=["word_count"], run=word_histogram))
+    try:
+        pages = ray.data.from_pandas(pd.DataFrame({
+            "url": ["a", "b", "c"], "word_count": [50, 150, 160],
+            "title": ["x", "y", "z"]}))
+        out = plugins.run_plugin("wc-hist", pages_ds=pages)
+        assert seen_cols["cols"] == ["word_count"]   # pruned to declaration
+        assert out["count()"].sum() == 3
+        # duplicate registration rejected
+        import pytest
+        with pytest.raises(ValueError):
+            plugins.register(plugins.AnalysisPlugin(
+                name="wc-hist", title="dup", table="pages",
+                run=word_histogram))
+    finally:
+        plugins.unregister("wc-hist")
