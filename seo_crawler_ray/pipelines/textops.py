@@ -150,54 +150,153 @@ def _jaccard_blobs(sa: bytes, sb: bytes) -> float:
     return inter / (len(A) + len(B) - inter)
 
 
+_GATHER_BUCKETS = 128
+_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(ids: np.ndarray) -> np.ndarray:
+    """Deterministic doc-id -> co-shuffle bucket (Fibonacci hashing)."""
+    with np.errstate(over="ignore"):
+        mixed = ids.astype(np.uint64) * _HASH_MULT
+    return ((mixed >> np.uint64(33)) % np.uint64(_GATHER_BUCKETS)) \
+        .astype(np.int32)
+
+
 def _tag_doc_blobs(batch: pa.Table) -> pa.Table:
-    """(doc_id, shingles) -> co-shuffle rows: key=doc_id, kind=1."""
+    """(doc_id, shingles) -> co-shuffle rows keyed by the id's bucket."""
     n = len(batch)
-    return pa.table({"key": batch["doc_id"].cast(pa.int64()),
+    ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+    return pa.table({"bucket": pa.array(_bucket_of(ids)),
+                     "key": pa.array(ids),
                      "other": pa.array(np.full(n, -1, dtype=np.int64)),
                      "blob": batch["shingles"],
                      "kind": pa.array(np.ones(n, dtype=np.int8))})
 
 
-def minhash_near_dups(docs_ds, threshold: float = 0.7,
-                      text_col: str = "text", id_col: str = "doc_id"):
-    """MinHash+LSH candidate generation + exact word-shingle Jaccard verify,
-    fully distributed — no driver-side text materialization anywhere.
+def _band_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs from one co-shuffle bucket of band rows: a C-speed
+    pandas groupby over (band, band_hash) inside the task (one task per
+    bucket — NOT one map_groups call per LSH bucket, which at corpus scale
+    would mean one task invocation per mostly-singleton hash)."""
+    out_a, out_b = [], []
+    for _, sub in group.groupby(["band", "band_hash"], sort=False):
+        if len(sub) < 2:
+            continue
+        ids = np.unique(sub["doc_id"].to_numpy())
+        if len(ids) < 2:
+            continue
+        ii, jj = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ii])
+        out_b.append(ids[jj])
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    # dedup within the task; cross-band duplicates (different buckets)
+    # survive to the final driver-side drop_duplicates on the tiny result
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
 
-    Dataflow: docs -> (doc_id, shingle-blob sketch) [materialized once,
-    reused 3x] -> band rows (24 B/doc/band) -> groupby(band, band_hash) ->
-    candidate pairs -> distributed pair dedup -> two co-shuffle gather
-    stages (union of pair rows keyed by one side's id with the sketch rows
-    keyed by doc_id, then groupby(key).map_groups attaches that side's
-    sketch) -> exact Jaccard inside the second gather. Only sketches and
-    (id, id) pairs ever move through the exchanges; text never leaves its
-    source blocks and nothing wide touches the driver.
+
+def lsh_candidates(sh_ds):
+    """sketches -> deduped-per-bucket candidate (a, b) pairs. The band rows
+    (24 B/doc/band) are hashed to _GATHER_BUCKETS co-shuffle buckets on
+    (band, band_hash) so the exchange has a bounded task count."""
+    def bands_bucketed(batch: pa.Table) -> pa.Table:
+        t = bands_from_shingles(batch)
+        with np.errstate(over="ignore"):
+            mix = (t["band_hash"].to_numpy().astype(np.uint64)
+                   + np.uint64(0x51ED2701) * t["band"].to_numpy().astype(np.uint64)) \
+                * _HASH_MULT
+        bucket = ((mix >> np.uint64(33)) % np.uint64(_GATHER_BUCKETS)) \
+            .astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket))
+
+    return (sh_ds.map_batches(bands_bucketed, batch_format="pyarrow")
+            .groupby("bucket").map_groups(_band_bucket_pairs,
+                                          batch_format="pandas"))
+
+
+def minhash_near_dups(docs_ds, threshold: float = 0.7,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      verify_mode: str = "auto",
+                      broadcast_candidate_limit: int = 500_000):
+    """MinHash+LSH candidate generation + exact word-shingle Jaccard verify.
+    Text NEVER reaches the driver in any mode — only fixed-size shingle
+    sketches (packed uint64 blobs) and (id, id) pairs move.
+
+    Dataflow: docs -> (doc_id, sketch) [materialized once] -> banded LSH
+    candidate pairs (bucketed groupby, bounded task count) -> verify:
+
+    - verify_mode='broadcast' (auto below ``broadcast_candidate_limit``
+      candidates): the candidate pairs are already driver-sized (they bound
+      the function's own return value), so pull the pairs, semi-join the
+      sketch Dataset against the candidate-id set, broadcast those sketches
+      and verify in parallel tasks. One exchange total.
+    - verify_mode='bucketed' (auto above the limit — the 100 TB path):
+      two co-shuffle gather stages (union of pair rows keyed by one side's
+      id-bucket with sketch rows keyed by doc-id-bucket, then
+      groupby(bucket) attaches that side's sketch), exact Jaccard inside
+      the second gather. Nothing larger than a bucket ever co-resides.
+
     Returns pairs (a, b, jaccard) with a < b and jaccard >= threshold.
     """
+    import ray
+
     sh_ds = docs_ds.map_batches(
         shingle_blob_batch, batch_format="pyarrow",
         fn_kwargs={"text_col": text_col, "id_col": id_col}).materialize()
 
-    bands = sh_ds.map_batches(bands_from_shingles, batch_format="pyarrow")
+    cand = lsh_candidates(sh_ds).materialize()
+    if verify_mode == "auto":
+        verify_mode = ("broadcast" if cand.count() <= broadcast_candidate_limit
+                       else "bucketed")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
-                             "b": np.array(out_b, dtype=np.int64)})
+    if verify_mode == "broadcast":
+        cand_pdf = cand.to_pandas().drop_duplicates()
+        if cand_pdf.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        ids = set(np.unique(cand_pdf[["a", "b"]].to_numpy()).tolist())
+        ids_ref = ray.put(ids)
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # distributed dedup: the same pair found in k bands collapses here
-    cand = cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
+        def keep_candidates(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            mask = [i in wanted for i in batch["doc_id"].to_pylist()]
+            return batch.filter(pa.array(mask))
+
+        sk_tbl = (sh_ds.map_batches(keep_candidates, batch_format="pyarrow")
+                  .to_arrow_refs())
+        sketches: dict[int, bytes] = {}
+        for tbl in ray.get(sk_tbl):
+            sketches.update(zip(tbl["doc_id"].to_pylist(),
+                                tbl["shingles"].to_pylist()))
+        sk_ref = ray.put(sketches)
+
+        @ray.remote
+        def verify(pairs: pd.DataFrame, sk: dict) -> pd.DataFrame:
+            rows = [(int(a), int(b), round(j, 6))
+                    for a, b in zip(pairs["a"], pairs["b"])
+                    if (j := _jaccard_blobs(sk[int(a)], sk[int(b)])) >= threshold]
+            return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+        chunks = np.array_split(cand_pdf, max(1, len(cand_pdf) // 4000))
+        parts = ray.get([verify.remote(c, sk_ref) for c in chunks if len(c)])
+        out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+            columns=["a", "b", "jaccard"])
+        if out.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
 
     def tag_pairs_on_a(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        return pa.table({"key": batch["a"].cast(pa.int64()),
+        a = np.asarray(batch["a"].to_pylist(), dtype=np.int64)
+        return pa.table({"bucket": pa.array(_bucket_of(a)),
+                         "key": pa.array(a),
                          "other": batch["b"].cast(pa.int64()),
                          "blob": pa.array([None] * n, pa.binary()),
                          "kind": pa.array(np.zeros(n, dtype=np.int8))})
@@ -210,20 +309,24 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "sh_a": pa.array([], pa.binary())})
-        blob = group["blob"][int(docs_i[0])].as_py()
-        keys = group["key"].to_numpy(zero_copy_only=False)[pairs_i]
-        others = group["other"].to_numpy(zero_copy_only=False)[pairs_i]
-        return pa.table({"a": pa.array(keys, pa.int64()),
-                         "b": pa.array(others, pa.int64()),
-                         "sh_a": pa.array([blob] * len(pairs_i), pa.binary())})
+        keys = group["key"].to_numpy(zero_copy_only=False)
+        others = group["other"].to_numpy(zero_copy_only=False)
+        blobs = group["blob"].to_pylist()
+        sketch = {int(keys[i]): blobs[i] for i in docs_i}
+        return pa.table({"a": pa.array(keys[pairs_i], pa.int64()),
+                         "b": pa.array(others[pairs_i], pa.int64()),
+                         "sh_a": pa.array([sketch[int(keys[i])]
+                                           for i in pairs_i], pa.binary())})
 
     stage1 = (cand.map_batches(tag_pairs_on_a, batch_format="pyarrow")
               .union(sh_ds.map_batches(_tag_doc_blobs, batch_format="pyarrow"))
-              .groupby("key").map_groups(gather_a, batch_format="pyarrow"))
+              .groupby("bucket").map_groups(gather_a, batch_format="pyarrow"))
 
     def tag_pairs_on_b(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        return pa.table({"key": batch["b"].cast(pa.int64()),
+        b = np.asarray(batch["b"].to_pylist(), dtype=np.int64)
+        return pa.table({"bucket": pa.array(_bucket_of(b)),
+                         "key": pa.array(b),
                          "other": batch["a"].cast(pa.int64()),
                          "blob": batch["sh_a"],
                          "kind": pa.array(np.zeros(n, dtype=np.int8))})
@@ -234,11 +337,12 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
         pairs_i = np.nonzero(kind == 0)[0]
         out_a, out_b, out_j = [], [], []
         if len(docs_i) and len(pairs_i):
-            sh_b = group["blob"][int(docs_i[0])].as_py()
             keys = group["key"].to_numpy(zero_copy_only=False)
             others = group["other"].to_numpy(zero_copy_only=False)
+            blobs = group["blob"].to_pylist()
+            sketch = {int(keys[i]): blobs[i] for i in docs_i}
             for i in pairs_i:
-                j = _jaccard_blobs(group["blob"][int(i)].as_py(), sh_b)
+                j = _jaccard_blobs(blobs[i], sketch[int(keys[i])])
                 if j >= threshold:
                     out_a.append(int(others[i]))
                     out_b.append(int(keys[i]))
@@ -249,13 +353,15 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
 
     out = (stage1.map_batches(tag_pairs_on_b, batch_format="pyarrow")
            .union(sh_ds.map_batches(_tag_doc_blobs, batch_format="pyarrow"))
-           .groupby("key").map_groups(verify_b, batch_format="pyarrow")
+           .groupby("bucket").map_groups(verify_b, batch_format="pyarrow")
            .to_pandas())
     if out.empty:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    # cross-band duplicate candidates were verified more than once
+    return (out.drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
 
 
 # -------------------------------------------------------------- simhash --

@@ -177,23 +177,36 @@ def test_ivf_topk_recall(ray_session):
 
 
 def test_minhash_no_driver_text_materialization(planted_docs, monkeypatch):
-    """Scale contract: the verify path must never pull text (or shingle
-    blobs) to the driver — only the final (a, b, jaccard) pairs."""
+    """Scale contract: the bucketed verify path must never pull text OR
+    sketch blobs to the driver — only the final (a, b, jaccard) pairs."""
     import ray.data
     from seo_crawler_ray.pipelines import textops
     real = ray.data.Dataset.to_pandas
 
     def guarded(self, *args, **kwargs):
         cols = set(self.schema().names)
-        assert not (cols & {"text", "shingles", "sh_a", "sh_b", "html"}), \
+        assert not (cols & {"text", "shingles", "sh_a", "sh_b", "html",
+                            "blob"}), \
             f"driver materialization of wide columns: {sorted(cols)}"
         return real(self, *args, **kwargs)
 
     monkeypatch.setattr(ray.data.Dataset, "to_pandas", guarded)
-    pairs = textops.minhash_near_dups(planted_docs, threshold=0.6)
+    pairs = textops.minhash_near_dups(planted_docs, threshold=0.6,
+                                      verify_mode="bucketed")
     got = set(zip(pairs["a"], pairs["b"]))
     assert (60, 61) in got
     assert (0, 64) in got
+
+
+def test_minhash_modes_identical(planted_docs):
+    """broadcast (candidate-sketch) and bucketed (co-shuffle) verify paths
+    must produce identical pairs — they share candidates and exact math."""
+    from seo_crawler_ray.pipelines import textops
+    a = textops.minhash_near_dups(planted_docs, threshold=0.6,
+                                  verify_mode="broadcast")
+    b = textops.minhash_near_dups(planted_docs, threshold=0.6,
+                                  verify_mode="bucketed")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
 
 
 def test_minhash_empty_candidates(ray_session):
