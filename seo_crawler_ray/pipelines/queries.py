@@ -301,6 +301,27 @@ def q_canonicalize(sf_dir: str):
     return ds.map_batches(canon, batch_format="pyarrow")
 
 
+def q_js_render(sf_dir: str):
+    """S5/T5 browser-pool stage over the corpus pages (fake renderer —
+    Playwright absent by design). Output keeps an md5 of the rendered html
+    so the oracle compares values without shipping full documents."""
+    import hashlib
+    from ..stages.jsrender import render_pages
+    cdir = _corpus(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(cdir, "pages.parquet"),
+                               columns=["url", "html"])
+
+    def digest(batch: pa.Table) -> pa.Table:
+        md5 = [hashlib.md5(h.encode("utf-8")).hexdigest()
+               for h in batch["html"].to_pylist()]
+        return pa.table({"url": batch["url"],
+                         "rendered": batch["rendered"],
+                         "status_code": batch["status_code"].cast(pa.int64()),
+                         "html_md5": pa.array(md5)})
+
+    return render_pages(ds).map_batches(digest, batch_format="pyarrow")
+
+
 def q_multimodal_features(sf_dir: str):
     from ..stages.multimodal import binary_features
     cdir = _corpus(sf_dir)
@@ -699,6 +720,7 @@ def queries() -> dict:
         "extract_text": q_extract_text,
         "canonicalize": q_canonicalize,
         "multimodal_features": q_multimodal_features,
+        "js_render": q_js_render,
         # export / read-path operators
         "export_pages_csv": q_export_pages_csv,
         "export_links_rows": q_export_links_rows,
@@ -946,6 +968,29 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             "SELECT url, octet_length(html) AS n_bytes, "
             "sha256(hex(html)) AS sha256_hex FROM "
             f"read_parquet('{_cp('pages.parquet')}')"),
+        "js_render": f"""
+            WITH p AS (
+              SELECT url, decode(html) AS h,
+                     lower(regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1))
+                         AS path
+              FROM read_parquet('{_cp('pages.parquet')}')),
+            cls AS (
+              SELECT url, h,
+                     (path LIKE '%.pdf' OR path LIKE '%.jpg'
+                      OR path LIKE '%.jpeg' OR path LIKE '%.png'
+                      OR path LIKE '%.gif' OR path LIKE '%.css'
+                      OR path LIKE '%.js' OR path LIKE '%.xml'
+                      OR path LIKE '%.txt' OR path LIKE '%.zip') AS skip,
+                     '<div id="js-root" data-url="' || url
+                         || '"></div><!--rendered-->' AS extra
+              FROM p)
+            SELECT url, NOT skip AS rendered,
+                   CAST(200 AS BIGINT) AS status_code,
+                   md5(CASE WHEN skip THEN h
+                        WHEN contains(h, '</body>')
+                        THEN regexp_replace(h, '</body>', extra || '</body>')
+                        ELSE h || extra END) AS html_md5
+            FROM cls""",
         "export_pages_csv": f"""
             SELECT url,
                    CAST(status_code AS VARCHAR) AS status_code,

@@ -179,3 +179,40 @@ def test_plugin_registry(ray_session):
                 run=word_histogram))
     finally:
         plugins.unregister("wc-hist")
+
+
+def test_jsrender_stage(ray_session):
+    """S5/T5 browser-pool shape: pages created once per actor, checked out
+    and returned per render; non-HTML extensions skip rendering; real mode
+    gated on Playwright's absence."""
+    import pandas as pd
+    import pytest
+    import ray.data
+    from seo_crawler_ray.stages.jsrender import (
+        JsRenderStage, RENDER_MARKER, render_pages, should_use_javascript)
+
+    with pytest.raises(NotImplementedError):
+        JsRenderStage(fake=False)
+    assert should_use_javascript("https://x.example/page")
+    assert not should_use_javascript("https://x.example/img.PNG")
+
+    df = pd.DataFrame({
+        "url": ["https://x.example/a", "https://x.example/file.pdf"],
+        "html": ["<html><body><p>hi</p></body></html>", "%PDF-1.4"],
+    })
+    out = render_pages(ray.data.from_pandas(df), pool_size=2,
+                       concurrency=1).to_pandas().set_index("url")
+    a = out.loc["https://x.example/a"]
+    assert a["rendered"] and RENDER_MARKER in a["html"]
+    assert 'id="js-root"' in a["html"]
+    assert a["html"].index(RENDER_MARKER) < a["html"].index("</body>") + len(a["html"])
+    pdf_row = out.loc["https://x.example/file.pdf"]
+    assert not pdf_row["rendered"] and pdf_row["html"] == "%PDF-1.4"
+
+    # pool accounting: renders drain and refill the same pool
+    stage = JsRenderStage(pool_size=1)
+    import pyarrow as pa
+    stage(pa.table({"url": ["https://x/1", "https://x/2"],
+                    "html": ["<body></body>", "<body></body>"]}))
+    assert len(stage.page_pool) == 1
+    assert stage.page_pool[0].renders == 2
