@@ -175,88 +175,83 @@ def q_eeat_scores(sf_dir: str):
 
 
 # ----------------------------------------------- pure-extraction queries --
-class ExtractAll:
+def extract_all_batch(batch: pa.Table, base_domain: str) -> pa.Table:
     """Extraction over EVERY corpus html page (no crawl gating); checked
-    against the generator-IR ground truth (gen_truth.parquet). Used as a
-    task UDF with a per-worker cache (same reasoning as the crawl's extract
-    stage: warm workers beat per-execution actor-pool spin-up)."""
-
-    def __init__(self, meta_ref, base_domain: str):
-        self.meta = ray.get(meta_ref)
-        self.base_domain = base_domain
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.extract import extract_page
-        from ..functions.urls import is_internal
-        rows = []
-        for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            status, ct = self.meta[url]
-            if "text/html" not in ct:
-                continue
-            res, _links, _outs = extract_page(
-                html, url, 0, self.base_domain, status, ct,
-                is_internal(url, self.base_domain))
-            og = res["og_tags"]
-            rows.append({
-                "url": url, "title": res["title"],
-                "meta_description": res["meta_description"], "h1": res["h1"],
-                "h2_joined": " | ".join(res["h2"]),
-                "h3_joined": " | ".join(res["h3"]),
-                "word_count": res["word_count"], "lang": res["lang"],
-                "charset": res["charset"], "viewport": res["viewport"],
-                "robots": res["robots"], "author": res["author"],
-                "keywords": res["keywords"], "generator": res["generator"],
-                "theme_color": res["theme_color"],
-                "canonical_url": res["canonical_url"],
-                "og_title": og.get("title", ""), "og_author": og.get("author", ""),
-                "twitter_card": res["twitter_tags"].get("card", ""),
-                "json_ld_count": len(res["json_ld"]),
-                "schema_org_count": len(res["schema_org"]),
-                "n_images": len(res["images"]),
-                "images_without_alt": sum(1 for im in res["images"] if not im["alt"]),
-                "internal_links": res["internal_links"],
-                "external_links": res["external_links"],
-                "ga4_id": res["analytics"]["ga4_id"],
-                "gtm_id": res["analytics"]["gtm_id"],
-            })
-        if not rows:
-            return pa.table({"url": pa.array([], pa.string())})
-        return pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    against the generator-IR ground truth (gen_truth.parquet). The response
+    metadata (status, content-type) rides IN the batch columns — no
+    O(corpus) url->meta dict is built or shipped anywhere."""
+    from ..functions.extract import extract_page
+    from ..functions.urls import is_internal
+    rows = []
+    for url, html, status, ct in zip(
+            batch["url"].to_pylist(), batch["html"].to_pylist(),
+            batch["status_code"].to_pylist(),
+            batch["content_type_header"].to_pylist()):
+        if "text/html" not in ct:
+            continue
+        res, _links, _outs = extract_page(
+            html, url, 0, base_domain, status, ct,
+            is_internal(url, base_domain))
+        og = res["og_tags"]
+        rows.append({
+            "url": url, "title": res["title"],
+            "meta_description": res["meta_description"], "h1": res["h1"],
+            "h2_joined": " | ".join(res["h2"]),
+            "h3_joined": " | ".join(res["h3"]),
+            "word_count": res["word_count"], "lang": res["lang"],
+            "charset": res["charset"], "viewport": res["viewport"],
+            "robots": res["robots"], "author": res["author"],
+            "keywords": res["keywords"], "generator": res["generator"],
+            "theme_color": res["theme_color"],
+            "canonical_url": res["canonical_url"],
+            "og_title": og.get("title", ""), "og_author": og.get("author", ""),
+            "twitter_card": res["twitter_tags"].get("card", ""),
+            "json_ld_count": len(res["json_ld"]),
+            "schema_org_count": len(res["schema_org"]),
+            "n_images": len(res["images"]),
+            "images_without_alt": sum(1 for im in res["images"] if not im["alt"]),
+            "internal_links": res["internal_links"],
+            "external_links": res["external_links"],
+            "ga4_id": res["analytics"]["ga4_id"],
+            "gtm_id": res["analytics"]["gtm_id"],
+        })
+    if not rows:
+        return pa.table({"url": pa.array([], pa.string())})
+    return pa.table({k: [r[k] for r in rows] for k in rows[0]})
 
 
-_EXTRACT_ALL_CACHE: dict[str, 'ExtractAll'] = {}
+def _pages_meta_path(cdir: str) -> str:
+    """One-time merged (url, html, status, content-type) parquet so the
+    extract read carries its own response metadata columns — pages.parquet
+    and meta.parquet are written in the same row order by the generator
+    (the same invariant crawl.load_corpus_table relies on)."""
+    import pyarrow.parquet as pq
+    path = os.path.join(cdir, "pages_meta_v1.parquet")
+    if not os.path.exists(path):
+        from .crawl import load_corpus_table
+        tmp = path + ".tmp"
+        pq.write_table(load_corpus_table(cdir), tmp)
+        os.replace(tmp, path)
+    return path
 
 
 def q_extract_pages(sf_dir: str):
     cdir = _corpus(sf_dir)
     import pyarrow.parquet as pq
-    meta = pq.read_table(os.path.join(cdir, "meta.parquet"),
-                         columns=["url", "status_code", "content_type_header"])
-    meta_ref = ray.put(dict(zip(
-        meta["url"].to_pylist(),
-        zip(meta["status_code"].to_pylist(),
-            meta["content_type_header"].to_pylist()))))
     with open(os.path.join(cdir, "corpus_meta.json")) as f:
         base_domain = json.load(f)["base_domain"]
     try:
         n_cpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         n_cpu = 8
-    n_rows = pq.read_metadata(os.path.join(cdir, "pages.parquet")).num_rows
+    merged = _pages_meta_path(cdir)
+    n_rows = pq.read_metadata(merged).num_rows
     ds = ray.data.read_parquet(
-        os.path.join(cdir, "pages.parquet"), columns=["url", "html"],
+        merged,
+        columns=["url", "html", "status_code", "content_type_header"],
         override_num_blocks=max(1, min(n_cpu * 2, n_rows // 128 + 1)))
-
-    def run_extract(batch: pa.Table) -> pa.Table:
-        key = meta_ref.hex()
-        ctx = _EXTRACT_ALL_CACHE.get(key)
-        if ctx is None:
-            ctx = ExtractAll(meta_ref, base_domain)
-            _EXTRACT_ALL_CACHE.clear()
-            _EXTRACT_ALL_CACHE[key] = ctx
-        return ctx(batch)
-
-    return ds.map_batches(run_extract, batch_format="pyarrow",
+    return ds.map_batches(extract_all_batch, batch_format="pyarrow",
+                          fn_kwargs={"base_domain": base_domain},
                           batch_size=None, num_cpus=1)
 
 
