@@ -64,6 +64,12 @@ class CrawlConfig:
                                    # 10^10-scale mode — restore replays)
     extract_batch_size: int = 64   # HTML rows per batch (wide binary rows -> small
                                    # batches; keeps multi-MB pages from straggling)
+    extract_plain_threshold: int = 16384  # frontier rows below which the wave's
+                                   # extract runs as plain Ray tasks over the
+                                   # staged blocks instead of a Dataset
+                                   # execution (same batch fn, same sinks;
+                                   # skips the executor's per-wave fixed cost
+                                   # that dominates tiny waves)
     extract_concurrency: int | None = None  # actor pool size; None -> tasks sized by Ray
     politeness_shards: int = 4
     hot_host_salt: int = 8         # sub-shards for hosts exceeding the skew threshold

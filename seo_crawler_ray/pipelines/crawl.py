@@ -63,6 +63,16 @@ def _count_rows(tbl: pa.Table) -> int:
     return tbl.num_rows
 
 
+@ray.remote(num_cpus=1)
+def _extract_task(tbl: pa.Table, wrapped_robots_ref: list, **kwargs) -> pa.Table:
+    """Plain-task wrapper over the same batch function the Dataset path
+    runs — the small-wave fast path (see _run_wave). robots_ref travels
+    wrapped in a list so Ray does not auto-resolve it (the batch fn wants
+    the ObjectRef itself for its worker-context cache key)."""
+    return extract_and_sink_batch(tbl, robots_ref=wrapped_robots_ref[0],
+                                  **kwargs)
+
+
 @ray.remote(num_returns=2)
 def _rank_write_block(tbl: pa.Table, offset: int, path: str):
     """Append the global rank column, write this frontier block's parquet
@@ -294,48 +304,68 @@ class CrawlJob:
             return now
 
         hint = self._frontier_hint or 0
-        if self._next_frontier_refs:
-            # frontier staged in the object store by the previous wave —
-            # no parquet re-read; parallelism = number of staged parts
-            frontier = ray.data.from_arrow_refs(self._next_frontier_refs)
-            self._next_frontier_refs = None
-        else:
-            # resume / cold start: block count = task parallelism, one block
-            # per ~batch_size rows capped at 2 tasks/CPU (a single-file
-            # frontier would otherwise become ONE task)
-            n_blocks = max(1, min(self._cpu_budget() * 2,
-                                  hint // cfg.extract_batch_size + 1))
-            frontier = ray.data.read_parquet(frontier_path,
-                                             override_num_blocks=n_blocks)
+        staged = self._next_frontier_refs
+        self._next_frontier_refs = None
         t = t0
 
-        # one execution: fetch+extract, write pages/links parts from the
-        # tasks, emit only the narrow outlink candidates downstream
-        candidates = frontier.map_batches(
-            extract_and_sink_batch,
-            fn_kwargs=dict(fetch_desc=fetch_desc, robots_ref=robots_ref,
-                           base_domain=base_domain, cfg_dict=self._cfg_dict(),
-                           cfg_key=self._cfg_key(), max_depth=max_depth,
-                           wave=wave,
-                           pages_dir=self._p("pages", f"wave={wave}"),
-                           links_dir=self._p("links", f"wave={wave}")),
-            batch_format="pyarrow",
-            batch_size=None,   # whole block per call -> ONE parquet part per
-                               # task; parallelism comes from n_blocks above
-            num_cpus=1,
-        )
-        # materialize the (narrow) candidates so the extract stage gets the
-        # WHOLE CPU budget: in a single fused execution the streaming
-        # executor splits resources across extract/aggregate/sort operators
-        # and the hot extract stage ends up nearly serial
-        candidates = candidates.materialize()
-        if os.environ.get("SEO_RAY_STATS"):
-            print(f"=== wave {wave} extract stats ===\n{candidates.stats()}")
-        # authoritative row count from metadata (parquet footers / staged
-        # block sizes) — the hint is a parallelism heuristic only, and a
-        # wrong hint must not corrupt rank offsets
-        n_frontier = frontier.count()
-        t = _mark("extract", t)
+        extract_kwargs = dict(
+            fetch_desc=fetch_desc, robots_ref=robots_ref,
+            base_domain=base_domain, cfg_dict=self._cfg_dict(),
+            cfg_key=self._cfg_key(), max_depth=max_depth, wave=wave,
+            pages_dir=self._p("pages", f"wave={wave}"),
+            links_dir=self._p("links", f"wave={wave}"))
+
+        if staged and hint <= cfg.extract_plain_threshold:
+            # small-wave fast path: the wave is a bounded set of staged
+            # blocks and the transform is embarrassingly parallel with
+            # in-task sinks, so the Dataset executor's per-execution fixed
+            # cost (~0.3-1 s/wave) would dominate — submit the SAME batch
+            # function as plain tasks over the staged blocks (the compact-
+            # frontier/broadcast-threshold idea applied to the extract).
+            counts = ray.get([_count_rows.remote(r) for r in staged])
+            n_frontier = sum(counts)
+            task_kwargs = {k: v for k, v in extract_kwargs.items()
+                           if k != "robots_ref"}
+            cand_refs = [_extract_task.remote(
+                r, [extract_kwargs["robots_ref"]], **task_kwargs)
+                for r in staged]
+            candidates = ray.data.from_arrow_refs(cand_refs).materialize()
+            t = _mark("extract", t)
+        else:
+            if staged:
+                # frontier staged in the object store by the previous wave —
+                # no parquet re-read; parallelism = number of staged parts
+                frontier = ray.data.from_arrow_refs(staged)
+            else:
+                # resume / cold start: block count = task parallelism, one
+                # block per ~batch_size rows capped at 2 tasks/CPU (a single-
+                # file frontier would otherwise become ONE task)
+                n_blocks = max(1, min(self._cpu_budget() * 2,
+                                      hint // cfg.extract_batch_size + 1))
+                frontier = ray.data.read_parquet(frontier_path,
+                                                 override_num_blocks=n_blocks)
+
+            # one execution: fetch+extract, write pages/links parts from the
+            # tasks, emit only the narrow outlink candidates downstream
+            candidates = frontier.map_batches(
+                extract_and_sink_batch, fn_kwargs=extract_kwargs,
+                batch_format="pyarrow",
+                batch_size=None,   # whole block per call -> ONE parquet part
+                                   # per task; parallelism = n_blocks above
+                num_cpus=1,
+            )
+            # materialize the (narrow) candidates so the extract stage gets
+            # the WHOLE CPU budget: in a single fused execution the streaming
+            # executor splits resources across extract/aggregate/sort
+            # operators and the hot extract stage ends up nearly serial
+            candidates = candidates.materialize()
+            if os.environ.get("SEO_RAY_STATS"):
+                print(f"=== wave {wave} extract stats ===\n{candidates.stats()}")
+            # authoritative row count from metadata (parquet footers / staged
+            # block sizes) — the hint is a parallelism heuristic only, and a
+            # wrong hint must not corrupt rank offsets
+            n_frontier = frontier.count()
+            t = _mark("extract", t)
 
         remaining = max(0, cfg.max_urls - crawled_total - n_frontier)
         n_cand = candidates.count()   # metadata on the materialized dataset
