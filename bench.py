@@ -59,7 +59,8 @@ def run_bench() -> dict:
     # minimum is the standard steady-state estimator)
     crawl_times = []
     crawled = 0
-    for attempt in range(2):
+    n_runs = int(os.environ.get("RAY_GRAFT_CRAWL_RUNS", "2"))
+    for attempt in range(n_runs):
         out_dir = f"/tmp/seo_ray_bench/crawl_{NUM_CPUS}"
         shutil.rmtree(out_dir, ignore_errors=True)
         cfg = flagship_config(seen_shards=max(4, NUM_CPUS // 4),
@@ -130,7 +131,9 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RAY_GRAFT_CRAWL_ONLY="1")   # scaling measures the crawl
+                   RAY_GRAFT_CRAWL_ONLY="1",   # scaling measures the crawl
+                   RAY_GRAFT_CRAWL_RUNS="3")   # best-of-3: single-box wall
+                                               # variance is +/-20-30%/run
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

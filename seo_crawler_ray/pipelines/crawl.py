@@ -64,6 +64,21 @@ def _count_rows(tbl: pa.Table) -> int:
 
 
 @ray.remote(num_cpus=1)
+def _warmup_task(wrapped_robots_ref: list, **kwargs) -> bool:
+    """Build the per-worker fetch/extract context (corpus plasma map, url
+    index, robots, predicate) on an empty batch. Fired once per CPU at job
+    start so every worker's first real extract task finds a warm context —
+    instead of each worker paying the build serially inside wave 0/1."""
+    from ..stages.extract_stage import fetch_extract_batch
+    empty = pa.table({"url": pa.array([], pa.large_string()),
+                      "depth": pa.array([], pa.int32()),
+                      "rank": pa.array([], pa.int64())})
+    fetch_extract_batch(empty, robots_ref=wrapped_robots_ref[0],
+                        max_depth=0, wave=0, **kwargs)
+    return True
+
+
+@ray.remote(num_cpus=1)
 def _extract_task(tbl: pa.Table, wrapped_robots_ref: list, **kwargs) -> pa.Table:
     """Plain-task wrapper over the same batch function the Dataset path
     runs — the small-wave fast path (see _run_wave). robots_ref travels
@@ -179,6 +194,14 @@ class CrawlJob:
             corpus_ref, n_corpus = broadcast_corpus(self.corpus_dir)
             fetch_desc = ("broadcast", corpus_ref)
         robots_ref = ray.put(robots)
+        # fire-and-track: warm every worker's extract context in parallel
+        # while wave 0 (tiny by construction) runs
+        self._warmup_refs = [
+            _warmup_task.remote([robots_ref], fetch_desc=fetch_desc,
+                                base_domain=base_domain,
+                                cfg_dict=self._cfg_dict(),
+                                cfg_key=self._cfg_key())
+            for _ in range(self._cpu_budget())]
 
         seen = make_seen_shards(cfg.seen_shards, cfg.seen_capacity, cfg.seen_exact)
         politeness = make_politeness_shards(cfg.politeness_shards, cfg.delay)
