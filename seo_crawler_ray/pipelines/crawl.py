@@ -553,18 +553,19 @@ class CrawlJob:
         tbl = pa.concat_tables(
             [b for b in ray.get(candidates.to_arrow_refs()) if b.num_rows],
             promote_options="default") if candidates.count() else None
-        best: dict[str, tuple[int, str, int]] = {}
-        if tbl is not None:
-            for url, host, key, depth in zip(
-                    tbl["url"].to_pylist(), tbl["host"].to_pylist(),
-                    tbl["key"].to_pylist(), tbl["depth"].to_pylist()):
-                cur = best.get(url)
-                if cur is None or key < cur[0]:
-                    best[url] = (key, host, depth)
-        rows = sorted((k, u, h, d) for u, (k, h, d) in best.items())
-        urls = [u for _, u, _, _ in rows]
-        flags = register_urls(seen, urls)
-        survivors = [r for r, f in zip(rows, flags) if f]
+        if tbl is not None and tbl.num_rows:
+            # vectorized collapse: keys are unique per candidate row, so a
+            # stable sort by key + first-per-url IS min(key) per url, and
+            # the survivors come out already in dequeue (key) order
+            df = tbl.select(["url", "host", "key", "depth"]).to_pandas()
+            df = df.sort_values("key", kind="mergesort") \
+                   .drop_duplicates(subset="url", keep="first")
+            flags = register_urls(seen, df["url"].tolist())
+            df = df[np.asarray(flags, dtype=bool)]
+            survivors = list(zip(df["key"].tolist(), df["url"].tolist(),
+                                 df["host"].tolist(), df["depth"].tolist()))
+        else:
+            survivors = []
         if self.mode == "priority" and survivors:
             # exact per-host deadline schedule (driver-side: no salting
             # approximation needed), then (deadline, -priority, key) order
