@@ -182,6 +182,7 @@ class CrawlJob:
                                                    "pages.parquet"))
             corpus_mode = ("bucketed" if on_disk > cfg.corpus_broadcast_limit
                            else "broadcast")
+        self._corpus_mode = corpus_mode
         if corpus_mode == "bucketed":
             from ..sources.corpus_store import build_bucketed_store
             store = build_bucketed_store(
@@ -296,10 +297,26 @@ class CrawlJob:
 
         The destination is cleared first: a crash between frontier write and
         _WAVE_OK can leave parts from a previous attempt with a different
-        layout, and frontier readers union every part in the dir."""
+        layout, and frontier readers union every part in the dir.
+
+        In bucketed corpus mode the rows are grouped by corpus bucket before
+        slicing, so each extract task's urls hit a contiguous run of bucket
+        files — every bucket is read at most ~once per wave instead of once
+        per batch (read-amplification is the bucketed path's whole cost).
+        Safe because row order inside the frontier is carry-data only: the
+        dequeue order lives in the explicit rank column."""
         import shutil
         shutil.rmtree(next_dir, ignore_errors=True)
         os.makedirs(next_dir, exist_ok=True)
+        if tbl.num_rows and getattr(self, "_corpus_mode", "") == "bucketed":
+            from ..sources.corpus_store import url_bucket
+            nb = self.config.corpus_buckets
+            order = np.argsort(
+                np.fromiter((url_bucket(u, nb)
+                             for u in tbl["url"].to_pylist()),
+                            dtype=np.int64, count=tbl.num_rows),
+                kind="stable")
+            tbl = tbl.take(pa.array(order))
         n = tbl.num_rows
         k_parts = max(1, min(self._cpu_budget() * 2,
                              n // self.config.extract_batch_size + 1))
