@@ -92,8 +92,8 @@ class PairScorer:
 
 def embedding_dup_pairs(emb_ds, max_id: int = 500, tau: float = 0.35) -> pd.DataFrame:
     """Near-dup pairs by cosine among vec_id < max_id. The subset side is
-    broadcast; the batch side streams — at full scale this becomes
-    IVF/LSH-bucketed (bucket groupby) instead of all-pairs."""
+    broadcast; the batch side streams. This is the exact/bounded operator —
+    ``embedding_dup_pairs_lsh`` is the 10^9-vector scale shape."""
     sub = emb_ds.filter(expr=f"vec_id < {max_id}")
     sdf = sub.to_pandas()
     subset_ref = ray.put({"ids": sdf["vec_id"].tolist(),
@@ -102,6 +102,62 @@ def embedding_dup_pairs(emb_ds, max_id: int = 500, tau: float = 0.35) -> pd.Data
                             batch_format="pyarrow", batch_size=4096,
                             concurrency=(1, 4)).to_pandas()
     return pairs.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.35, n_planes: int = 6,
+                            n_bands: int = 4, seed: int = 17) -> pd.DataFrame:
+    """Embedding near-dup pairs at scale: banded random-hyperplane LSH.
+
+    Each vector hashes to ``n_bands`` sign-pattern codes (independent plane
+    sets); vectors sharing ANY band code become candidates; exact cosine is
+    verified inside the band's groupby task (vectors co-located by the
+    groupby — only (band, code, id, embedding) rows shuffle, one row per
+    band per vector). Recall grows with n_bands like MinHash banding; no
+    driver-side candidate or embedding materialization anywhere.
+    Returns (a, b) with a < b and cosine >= tau, deduped across bands."""
+    rng = np.random.RandomState(seed)
+    dim = len(emb_ds.take(1)[0]["embedding"])
+    planes = [rng.normal(size=(n_planes, dim)) for _ in range(n_bands)]
+
+    def code_rows(batch: pa.Table) -> pa.Table:
+        E = _emb_matrix(batch)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        out_band, out_code, out_id, out_emb = [], [], [], []
+        for b, P in enumerate(planes):
+            codes = ((E @ P.T) > 0).astype(np.int64)
+            code = (codes * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+            out_band.extend([b] * len(vec_ids))
+            out_code.extend(code.tolist())
+            out_id.extend(vec_ids.tolist())
+            out_emb.extend(batch["embedding"].to_pylist())
+        return pa.table({"band": pa.array(out_band, pa.int32()),
+                         "code": pa.array(out_code, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "embedding": pa.array(out_emb)})
+
+    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        ids = group["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = _norm_rows(np.array(group["embedding"].tolist(),
+                                dtype=np.float64)[order])
+        sims = M @ M.T
+        ii, jj = np.nonzero(np.triu(sims >= tau, k=1))
+        return pd.DataFrame({"a": ids[ii].astype(np.int64),
+                             "b": ids[jj].astype(np.int64)})
+
+    pairs = (emb_ds.map_batches(code_rows, batch_format="pyarrow")
+             .groupby(["band", "code"])
+             .map_groups(verify_bucket, batch_format="pandas")
+             .to_pandas())
+    if pairs.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    return (pairs.drop_duplicates().sort_values(["a", "b"])
+            .reset_index(drop=True))
 
 
 class CellMaskedTopKScorer:

@@ -523,6 +523,14 @@ def q_embedding_dup_pairs(sf_dir: str):
     return embedops.embedding_dup_pairs(_emb_ds(sf_dir), max_id=500, tau=0.35)
 
 
+def q_embedding_dup_pairs_lsh(sf_dir: str):
+    """Scale variant over the FULL table (no id bound): banded hyperplane
+    LSH + in-bucket exact verify. Rows-only driver check (seeded planes are
+    not SQL-expressible); recall vs the exact operator is pytest-pinned."""
+    return embedops.embedding_dup_pairs_lsh(_emb_ds(sf_dir), tau=0.35,
+                                            n_planes=3, n_bands=16)
+
+
 def q_langid(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(textops.langid_batch, batch_format="pyarrow")
 
@@ -738,6 +746,7 @@ def queries() -> dict:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "langid": q_langid,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,

@@ -240,3 +240,19 @@ def test_registered_ann_variants_recall(ray_session):
 
     assert mean_recall(q_ann_topk_ivf(sf)) >= 0.9
     assert mean_recall(q_ann_topk_lsh(sf)) >= 0.88
+
+
+def test_embedding_dup_pairs_lsh_recall(ray_session):
+    """Banded-LSH embedding dup pairs must recover >=0.95 of the exact
+    cosine pairs on the real embeddings table at the registered params,
+    with no false positives (in-bucket verify is exact)."""
+    import ray.data
+    from seo_crawler_ray.pipelines.embedops import (
+        embedding_dup_pairs, embedding_dup_pairs_lsh)
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = embedding_dup_pairs(ds, max_id=10**9, tau=0.35)
+    approx = embedding_dup_pairs_lsh(ds, tau=0.35, n_planes=3, n_bands=16)
+    e = set(zip(exact["a"], exact["b"]))
+    a = set(zip(approx["a"], approx["b"]))
+    assert a <= e                       # verify step is exact -> no FPs
+    assert len(a & e) / len(e) >= 0.95
