@@ -317,6 +317,17 @@ def q_js_render(sf_dir: str):
     return render_pages(ds).map_batches(digest, batch_format="pyarrow")
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Frame-sampling explode stage over the corpus payloads (decode gated
+    by design; windows deterministic, so DuckDB rebuilds each frame from
+    hex(blob) slices)."""
+    from ..stages.multimodal import sample_frames
+    cdir = _corpus(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(cdir, "pages.parquet"),
+                               columns=["url", "html"])
+    return sample_frames(ds)
+
+
 def q_multimodal_features(sf_dir: str):
     from ..stages.multimodal import binary_features
     cdir = _corpus(sf_dir)
@@ -548,6 +559,12 @@ def q_token_counts(sf_dir: str):
     return out
 
 
+def q_doc_winnow(sf_dir: str):
+    """Winnowing fingerprints (k=8-gram md5, window w=16) per document."""
+    return _docs_ds(sf_dir).map_batches(textops.winnow_batch,
+                                        batch_format="pyarrow")
+
+
 def q_doc_fingerprints(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(textops.fingerprint_batch,
                                         batch_format="pyarrow")
@@ -723,6 +740,7 @@ def queries() -> dict:
         "extract_text": q_extract_text,
         "canonicalize": q_canonicalize,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "js_render": q_js_render,
         # export / read-path operators
         "export_pages_csv": q_export_pages_csv,
@@ -751,6 +769,7 @@ def queries() -> dict:
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
+        "doc_winnow": q_doc_winnow,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "top_events_per_user": q_top_events_per_user,
@@ -972,6 +991,16 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             "SELECT url, octet_length(html) AS n_bytes, "
             "sha256(hex(html)) AS sha256_hex FROM "
             f"read_parquet('{_cp('pages.parquet')}')"),
+        "multimodal_frames": f"""
+            WITH p AS (SELECT url, hex(html) AS h, octet_length(html) AS n
+                       FROM read_parquet('{_cp('pages.parquet')}')),
+            f AS (SELECT url, h, n, k.k AS frame_idx,
+                         (n * k.k) // 4 AS off
+                  FROM p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+            SELECT url, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(LEAST(256, n - off) AS BIGINT) AS frame_bytes,
+                   md5(substr(h, off * 2 + 1, 512)) AS frame_md5
+            FROM f""",
         "js_render": f"""
             WITH p AS (
               SELECT url, decode(html) AS h,
@@ -1180,6 +1209,23 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
             FROM documents""",
+        "doc_winnow": """
+            WITH pos AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1,
+                         greatest(length(text) - 7, 1))) AS i
+              FROM documents),
+            g AS (
+              SELECT doc_id, i,
+                     md5(substr(text, CAST(i AS INT), 8)) AS h
+              FROM pos),
+            w AS (
+              SELECT doc_id, i,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+                         AS sel
+              FROM g)
+            SELECT DISTINCT doc_id, sel AS fp FROM w WHERE i >= 16""",
         "events_tumbling": """
             SELECT event_type,
                    (epoch_us(ts) // 1000000) // 3600 AS window_id,

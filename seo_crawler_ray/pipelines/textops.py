@@ -509,6 +509,42 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pa.array(n, pa.int64()))
 
 
+def winnow_batch(batch: pa.Table, k: int = 8, w: int = 16,
+                 text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03,
+    the MOSS scheme): hash every k-char gram, slide a w-gram window, keep
+    the window minimum — guarantees shared fingerprints for any match of
+    length >= w+k-1 while storing ~2/(w+1) of the grams.
+
+    Gram hash = md5 hex compared lexicographically, so DuckDB mirrors the
+    selection exactly (min() over a ROWS BETWEEN window on md5(substr())).
+    Output: one row per distinct selected fingerprint per doc."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    out_ids: list[int] = []
+    out_fps: list[str] = []
+    for doc_id, text in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+        n = max(len(text) - k + 1, 1)
+        if n < w:
+            continue                   # no complete window (mirrored in SQL)
+        hexes = [hashlib.md5(text[i:i + k].encode("utf-8")).hexdigest()
+                 for i in range(n)]
+        # rolling min on the leading 64 bits (numpy has no bytes-min);
+        # lexicographic-hex order == numeric order, and a 64-bit prefix
+        # tie between distinct md5s in one window is ~2^-64
+        u = np.fromiter((int(h[:16], 16) for h in hexes),
+                        dtype=np.uint64, count=n)
+        sel = np.unique(sliding_window_view(u, w).min(axis=1))
+        lut: dict[int, str] = {}
+        for uu, h in zip(u.tolist(), hexes):
+            lut.setdefault(uu, h)
+        fps = [lut[x] for x in sel.tolist()]
+        out_ids.extend([doc_id] * len(fps))
+        out_fps.extend(fps)
+    return pa.table({id_col: pa.array(out_ids, pa.int64()),
+                     "fp": pa.array(out_fps, pa.string())})
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
     # mirror of SQL md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')):

@@ -81,3 +81,59 @@ def binary_features(pages_ds, concurrency=(1, 4), batch_size: int = 64):
     return pages_ds.map_batches(
         BinaryFeatures, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency)
+
+
+class FrameSampleStub:
+    """Video frame-sampling stage shape: one input payload row explodes to
+    ``n_frames`` output rows (frame_idx, frame bytes, metadata). The real
+    decoder (av/ffmpeg) is absent from this container and gated behind an
+    import-try; the fake samples ``n_frames`` evenly spaced byte windows of
+    the payload — deterministic, so the whole explode pipeline has a DuckDB
+    oracle. Batch sizes must stay small: output width is
+    n_frames x frame_bytes per input row."""
+
+    def __init__(self, n_frames: int = 4, frame_bytes: int = 256,
+                 payload_col: str = "html", key_col: str = "url",
+                 fake: bool = True):
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+        self.payload_col = payload_col
+        self.key_col = key_col
+        if not fake:
+            try:
+                import av  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real frame sampling needs PyAV/ffmpeg, not available "
+                    "in this environment; use fake=True") from e
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, idxs, n_bytes, md5s = [], [], [], []
+        for key, payload in zip(batch[self.key_col].to_pylist(),
+                                batch[self.payload_col].to_pylist()):
+            n = len(payload)
+            for i in range(self.n_frames):
+                offset = (n * i) // self.n_frames
+                frame = payload[offset:offset + self.frame_bytes]
+                keys.append(key)
+                idxs.append(i)
+                n_bytes.append(len(frame))
+                # digest over the UPPERCASE hex — DuckDB-blob-mirrorable,
+                # same convention as BinaryFeatures
+                md5s.append(hashlib.md5(
+                    frame.hex().upper().encode()).hexdigest())
+        return pa.table({
+            self.key_col: pa.array(keys, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "frame_bytes": pa.array(n_bytes, pa.int64()),
+            "frame_md5": pa.array(md5s, pa.string()),
+        })
+
+
+def sample_frames(pages_ds, n_frames: int = 4, frame_bytes: int = 256,
+                  concurrency=(1, 4), batch_size: int = 32):
+    return pages_ds.map_batches(
+        FrameSampleStub, batch_format="pyarrow",
+        fn_constructor_kwargs={"n_frames": n_frames,
+                               "frame_bytes": frame_bytes},
+        batch_size=batch_size, concurrency=concurrency)

@@ -256,3 +256,37 @@ def test_embedding_dup_pairs_lsh_recall(ray_session):
     a = set(zip(approx["a"], approx["b"]))
     assert a <= e                       # verify step is exact -> no FPs
     assert len(a & e) / len(e) >= 0.95
+
+
+def test_winnow_shared_fingerprints(planted_docs):
+    """Winnowing guarantee: docs sharing long substrings share selected
+    fingerprints; near-dup pair (60, 61) overlaps heavily, random docs
+    overlap near zero."""
+    from seo_crawler_ray.pipelines.textops import winnow_batch
+    out = planted_docs.map_batches(
+        winnow_batch, batch_format="pyarrow").to_pandas()
+    by_doc = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    j_dup = len(by_doc[60] & by_doc[61]) / len(by_doc[60] | by_doc[61])
+    j_rand = len(by_doc[0] & by_doc[1]) / len(by_doc[0] | by_doc[1])
+    assert by_doc[0] == by_doc[64]      # exact dup: identical fingerprints
+    assert j_dup > 0.8
+    assert j_rand < 0.1
+
+
+def test_frame_sample_stub(ray_session):
+    import hashlib
+    import pyarrow as pa
+    import pytest
+    from seo_crawler_ray.stages.multimodal import FrameSampleStub
+    with pytest.raises(NotImplementedError):
+        FrameSampleStub(fake=False)
+    stub = FrameSampleStub(n_frames=4, frame_bytes=4)
+    payload = bytes(range(40))
+    out = stub(pa.table({"url": ["u"], "html": [payload]})).to_pandas()
+    assert list(out["frame_idx"]) == [0, 1, 2, 3]
+    # evenly spaced windows: offsets 0, 10, 20, 30
+    for i, off in enumerate((0, 10, 20, 30)):
+        frame = payload[off:off + 4]
+        assert out["frame_md5"][i] == hashlib.md5(
+            frame.hex().upper().encode()).hexdigest()
+        assert out["frame_bytes"][i] == 4
