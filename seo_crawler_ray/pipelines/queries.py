@@ -226,11 +226,15 @@ def _pages_meta_path(cdir: str) -> str:
     and meta.parquet are written in the same row order by the generator
     (the same invariant crawl.load_corpus_table relies on)."""
     import pyarrow.parquet as pq
-    path = os.path.join(cdir, "pages_meta_v1.parquet")
+    path = os.path.join(cdir, "pages_meta_v2.parquet")
     if not os.path.exists(path):
         from .crawl import load_corpus_table
+        tbl = load_corpus_table(cdir)
         tmp = path + ".tmp"
-        pq.write_table(load_corpus_table(cdir), tmp)
+        # small row groups: read parallelism can't split below row-group
+        # granularity, and one giant group would serialize the whole read
+        pq.write_table(tbl, tmp,
+                       row_group_size=max(256, tbl.num_rows // 256))
         os.replace(tmp, path)
     return path
 
