@@ -563,6 +563,11 @@ def q_token_counts(sf_dir: str):
     return out
 
 
+def q_repetition_stats(sf_dir: str):
+    return _docs_ds(sf_dir).map_batches(textops.repetition_stats_batch,
+                                        batch_format="pyarrow")
+
+
 def q_doc_winnow(sf_dir: str):
     """Winnowing fingerprints (k=8-gram md5, window w=16) per document."""
     return _docs_ds(sf_dir).map_batches(textops.winnow_batch,
@@ -774,6 +779,7 @@ def queries() -> dict:
         "token_counts": q_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_winnow": q_doc_winnow,
+        "repetition_stats": q_repetition_stats,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "top_events_per_user": q_top_events_per_user,
@@ -1213,6 +1219,24 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
             FROM documents""",
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+              FROM documents),
+            c AS (SELECT doc_id, word, count(*) AS n
+                  FROM w GROUP BY doc_id, word),
+            agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+                           CAST(max(n) AS BIGINT) AS top_word_n
+                    FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n_words, 0) AS n_words,
+                   COALESCE(a.top_word_n, 0) AS top_word_n,
+                   CAST(floor(CASE WHEN COALESCE(a.n_words, 0) > 0
+                        THEN CAST(a.top_word_n AS DOUBLE) / a.n_words
+                        ELSE 0 END * 10000.0 + 0.5) AS BIGINT)
+                       AS top_word_frac_e4
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         "doc_winnow": """
             WITH pos AS (
               SELECT doc_id, text,

@@ -504,6 +504,36 @@ def quality_batch(batch: pa.Table, text_col: str = "text",
     })
 
 
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): total word
+    count, the most-frequent word's count, and its fraction (e4-integerized
+    half-up) — the filter a 100 TB text pipeline applies before training.
+    Mirrored exactly by SQL (unnest + count + max)."""
+    ids, totals, top_counts = [], [], []
+    for doc_id, text in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+        words = LOWER_WORD_RE.findall(text.lower())
+        ids.append(doc_id)
+        totals.append(len(words))
+        if words:
+            _, counts = np.unique(np.array(words), return_counts=True)
+            top_counts.append(int(counts.max()))
+        else:
+            top_counts.append(0)
+    totals_a = np.array(totals, dtype=np.float64)
+    top_a = np.array(top_counts, dtype=np.float64)
+    frac = np.divide(top_a, totals_a, out=np.zeros_like(top_a),
+                     where=totals_a > 0)
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "n_words": pa.array(totals, pa.int64()),
+        "top_word_n": pa.array(top_counts, pa.int64()),
+        "top_word_frac_e4": pa.array(
+            np.floor(frac * 10000.0 + 0.5).astype(np.int64)),
+    })
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n = [len(TOKEN_RE.findall(t)) for t in batch[text_col].to_pylist()]
     return batch.append_column("n_tokens", pa.array(n, pa.int64()))

@@ -83,6 +83,51 @@ def binary_features(pages_ds, concurrency=(1, 4), batch_size: int = 64):
         batch_size=batch_size, concurrency=concurrency)
 
 
+class ResizeStub:
+    """Image-resize stage shape: payload in, fixed-budget payload + typed
+    metadata struct out. PIL is absent, so fake mode center-crops the byte
+    stream to ``target_bytes`` (deterministic — the crop IS the contract a
+    real resizer would replace) and emits the metadata struct a downstream
+    embedder needs: media_type, original/output sizes, truncation flag."""
+
+    def __init__(self, target_bytes: int = 1024, payload_col: str = "html",
+                 key_col: str = "url", media_type: str = "image",
+                 fake: bool = True):
+        self.target_bytes = target_bytes
+        self.payload_col = payload_col
+        self.key_col = key_col
+        self.media_type = media_type
+        if not fake:
+            try:
+                import PIL.Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real resize needs PIL, not available here; use "
+                    "fake=True") from e
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, payloads, metas = [], [], []
+        for key, payload in zip(batch[self.key_col].to_pylist(),
+                                batch[self.payload_col].to_pylist()):
+            n = len(payload)
+            start = max(0, (n - self.target_bytes) // 2)
+            out = payload[start:start + self.target_bytes]
+            keys.append(key)
+            payloads.append(out)
+            metas.append({"media_type": self.media_type,
+                          "orig_bytes": n, "out_bytes": len(out),
+                          "truncated": n > self.target_bytes})
+        meta_type = pa.struct([("media_type", pa.string()),
+                               ("orig_bytes", pa.int64()),
+                               ("out_bytes", pa.int64()),
+                               ("truncated", pa.bool_())])
+        return pa.table({
+            self.key_col: pa.array(keys, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, meta_type),
+        })
+
+
 class FrameSampleStub:
     """Video frame-sampling stage shape: one input payload row explodes to
     ``n_frames`` output rows (frame_idx, frame bytes, metadata). The real

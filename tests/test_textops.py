@@ -290,3 +290,35 @@ def test_frame_sample_stub(ray_session):
         assert out["frame_md5"][i] == hashlib.md5(
             frame.hex().upper().encode()).hexdigest()
         assert out["frame_bytes"][i] == 4
+
+
+def test_resize_stub(ray_session):
+    import pyarrow as pa
+    import pytest
+    from seo_crawler_ray.stages.multimodal import ResizeStub
+    with pytest.raises(NotImplementedError):
+        ResizeStub(fake=False)
+    stub = ResizeStub(target_bytes=8)
+    payload = bytes(range(20))
+    out = stub(pa.table({"url": ["u"], "html": [payload]})).to_pandas()
+    meta = out["meta"][0]
+    assert meta["orig_bytes"] == 20 and meta["out_bytes"] == 8
+    assert meta["truncated"] and meta["media_type"] == "image"
+    assert out["payload"][0] == payload[6:14]   # center crop
+    # payload smaller than budget passes through untruncated
+    out2 = stub(pa.table({"url": ["v"], "html": [b"abc"]})).to_pandas()
+    assert out2["payload"][0] == b"abc" and not out2["meta"][0]["truncated"]
+
+
+def test_repetition_stats(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import repetition_stats_batch
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["spam spam spam eggs", "a b c d", ""]})
+    out = ray.data.from_pandas(df).map_batches(
+        repetition_stats_batch, batch_format="pyarrow").to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "n_words"] == 4 and out.loc[0, "top_word_n"] == 3
+    assert out.loc[0, "top_word_frac_e4"] == 7500
+    assert out.loc[1, "top_word_frac_e4"] == 2500
+    assert out.loc[2, "n_words"] == 0 and out.loc[2, "top_word_frac_e4"] == 0
