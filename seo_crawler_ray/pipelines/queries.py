@@ -1219,6 +1219,29 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
             FROM documents""",
+        "langid": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(substr(lower(text), 1, 400),
+                         '[\\x{4E00}-\\x{9FFF}]')) AS n_cjk,
+                     list_distinct(regexp_extract_all(lower(text),
+                         '[a-z0-9]+')) AS ws
+              FROM documents),
+            sc AS (
+              SELECT doc_id, n_cjk,
+                     len(list_intersect(ws, ['and', 'for', 'in', 'is', 'it', 'of', 'that', 'the', 'to', 'with'])) AS s_en,
+                     len(list_intersect(ws, ['auf', 'das', 'der', 'die', 'ein', 'ist', 'mit', 'nicht', 'und', 'zu'])) AS s_de,
+                     len(list_intersect(ws, ['dans', 'est', 'et', 'la', 'le', 'les', 'pas', 'pour', 'un', 'une'])) AS s_fr,
+                     len(list_intersect(ws, ['el', 'en', 'es', 'la', 'las', 'los', 'no', 'por', 'un', 'una'])) AS s_es
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN n_cjk >= 3 THEN 'zh'
+                        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                             THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM sc""",
         "repetition_stats": """
             WITH w AS (
               SELECT doc_id,
