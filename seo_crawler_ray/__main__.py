@@ -70,6 +70,19 @@ def cmd_export(args) -> int:
         with open(args.out, "w") as f:
             json.dump({"total_issues": len(df),
                        "issues_by_url": issues_by_url(df)}, f, indent=2)
+    elif args.kind in ("pages_json", "pages_xml"):
+        import time
+        from .pipelines.exports import json_export, xml_export
+        fields = ["url", "status_code", "title", "word_count",
+                  "internal_links", "external_links", "canonical_url"]
+        pdf = (pages.select_columns(fields + ["rank"]).sort("rank")
+               .to_pandas())
+        rows = pdf[fields].to_dict("records")
+        stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        out = (json_export(rows, fields, stamp) if args.kind == "pages_json"
+               else xml_export(rows, fields, stamp))
+        with open(args.out, "w") as f:
+            f.write(out)
     else:
         print(f"unknown export kind {args.kind}", file=sys.stderr)
         return 2
@@ -99,7 +112,8 @@ def main(argv=None) -> int:
     e = sub.add_parser("export", help="export crawl outputs")
     e.add_argument("--crawl", required=True)
     e.add_argument("--kind", default="pages_csv",
-                   choices=["pages_csv", "links_csv", "issues_json"])
+                   choices=["pages_csv", "links_csv", "issues_json",
+                            "pages_json", "pages_xml"])
     e.add_argument("--out", required=True)
     e.set_defaults(fn=cmd_export)
 
