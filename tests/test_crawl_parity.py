@@ -280,3 +280,20 @@ def test_max_file_size_gate(ray_session, tiny_corpus, tmp_path, sim_result):
     zeroed = [r for r in pages.to_pylist()
               if r["status_code"] == 0 and r["url"] in fetch_map]
     assert zeroed and all(r["word_count"] == 0 for r in zeroed)
+
+
+def test_priority_distributed_budget_exhausted(ray_session, tiny_corpus,
+                                               tmp_path):
+    """max_urls exhausted on a distributed-path priority wave used to drop
+    nonexistent deadline columns and raise; it must just stop cleanly at
+    the budget."""
+    from seo_crawler_ray.pipelines.crawl import CrawlJob
+    from seo_crawler_ray.sources.cache import flagship_config
+
+    cfg = flagship_config(seen_shards=2, politeness_shards=2,
+                          wave_compact_threshold=0, max_urls=80)
+    out = str(tmp_path / "prio_budget")
+    summary = CrawlJob(tiny_corpus, out, cfg, mode="priority").run()
+    assert summary["crawled_total"] >= 80          # stopped by budget
+    pages = pads.dataset(f"{out}/pages").to_table()
+    assert pages.num_rows == summary["crawled_total"]
