@@ -411,14 +411,28 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3,
     exploded = sigs.map_batches(explode_chunks, batch_format="pyarrow")
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """Hamming comparisons run over DISTINCT simhash values (u of them)
+        and only expand to doc pairs on a match: a mass-duplicate corpus
+        (many docs, one signature) costs O(u^2 + true_pairs), not O(n^2) —
+        the degenerate-bucket case a dedup operator exists to hit."""
         rows = []
-        recs = sorted(set(zip(group["doc_id"].tolist(), group["simhash"].tolist())))
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                (a, sa), (b, sb) = recs[i], recs[j]
-                d = bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if d <= max_hamming and a != b:
-                    rows.append((min(a, b), max(a, b), d))
+        df = group[["doc_id", "simhash"]].drop_duplicates()
+        by_sig: dict[int, list[int]] = {}
+        for a, s in zip(df["doc_id"].tolist(), df["simhash"].tolist()):
+            by_sig.setdefault(int(s), []).append(int(a))
+        sigs_u = sorted(by_sig)
+        for members in by_sig.values():      # identical sigs: hamming 0
+            members = sorted(members)
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    rows.append((members[i], members[j], 0))
+        for i in range(len(sigs_u)):
+            for j in range(i + 1, len(sigs_u)):
+                d = bin((sigs_u[i] ^ sigs_u[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= max_hamming:
+                    for a in by_sig[sigs_u[i]]:
+                        for b in by_sig[sigs_u[j]]:
+                            rows.append((min(a, b), max(a, b), d))
         return pd.DataFrame(rows, columns=["a", "b", "hamming"])
 
     pairs = exploded.groupby(["band", "chunk"]).map_groups(

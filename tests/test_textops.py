@@ -322,3 +322,19 @@ def test_repetition_stats(ray_session):
     assert out.loc[0, "top_word_frac_e4"] == 7500
     assert out.loc[1, "top_word_frac_e4"] == 2500
     assert out.loc[2, "n_words"] == 0 and out.loc[2, "top_word_frac_e4"] == 0
+
+
+def test_simhash_mass_duplicate_bucket(ray_session):
+    """Mass-duplicate corpus: identical docs share one simhash; the bucket
+    compare must stay O(distinct^2) and still emit every hamming-0 pair."""
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import simhash_near_dups
+    n = 40
+    df = pd.DataFrame({"doc_id": range(n + 1),
+                       "text": ["same mass duplicate body text here"] * n
+                               + ["completely different other words now"]})
+    pairs = simhash_near_dups(ray.data.from_pandas(df), max_hamming=2)
+    got = set(zip(pairs["a"], pairs["b"]))
+    expect = {(i, j) for i in range(n) for j in range(i + 1, n)}
+    assert got >= expect
+    assert all(h == 0 for h in pairs[pairs["b"] < n]["hamming"])
