@@ -271,6 +271,50 @@ def viz_graph(pages_df: pd.DataFrame, links_df: pd.DataFrame,
     return nodes, edges
 
 
+def select_pages_for_pagespeed_distributed(pages_ds) -> list[str]:
+    """O4 selection without a full-table driver pull: candidate flags are
+    computed in map_batches over 4 pruned columns, the homepage comes from
+    distributed sort+limit(1) (first exact-root in crawl order, else
+    shortest-path-then-rank), and the 2 category pages from sort+limit —
+    only ≤3 rows ever reach the driver. Semantics identical to
+    ``select_pages_for_pagespeed`` (crawler.py:1248-1284)."""
+    import pyarrow as pa
+
+    def flags(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        paths = [urlparse(u).path for u in urls]
+        rstripped = [p.rstrip("/") for p in paths]
+        stripped = [p.strip("/") for p in paths]
+        return pa.table({
+            "url": batch["url"], "rank": batch["rank"],
+            "plen": pa.array([len(p) for p in rstripped], pa.int64()),
+            "is_root": pa.array([p in ("", "/") for p in rstripped]),
+            "is_single": pa.array([bool(s) and "/" not in s
+                                   for s in stripped]),
+        })
+
+    cand = (pages_ds.select_columns(["url", "rank", "status_code",
+                                     "is_internal"])
+            .filter(expr="status_code == 200 and is_internal")
+            .map_batches(flags, batch_format="pyarrow").materialize())
+
+    root = cand.filter(expr="is_root").sort("rank").limit(1).to_pandas()
+    if len(root):
+        homepage = root["url"].iloc[0]
+    else:
+        best = cand.sort(["plen", "rank"]).limit(1).to_pandas()
+        homepage = best["url"].iloc[0] if len(best) else None
+    selected = [homepage] if homepage else []
+    cats = (cand.filter(expr="is_single")
+            .sort("rank").limit(3).to_pandas())     # 3 covers homepage hit
+    n_cats = 0
+    for u in (cats["url"] if len(cats) else []):
+        if u != homepage and n_cats < 2:            # crawler.py: category[:2]
+            selected.append(u)
+            n_cats += 1
+    return selected
+
+
 def viz_edges_distributed(pages_ds, links_ds, max_nodes: int = 500) -> pd.DataFrame:
     """J4 edges at scale: only the ≤``max_nodes`` node table touches the
     driver (bounded by construction, main.py:826-890); the url→node-id map

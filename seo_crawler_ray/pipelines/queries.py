@@ -115,15 +115,18 @@ def q_crawl_pages(sf_dir: str):
 
 
 def q_crawl_order(sf_dir: str):
-    pdf = (_pages_ds(sf_dir).select_columns(["url", "rank", "depth"])
-           .to_pandas().sort_values("rank").reset_index(drop=True))
-    pdf["seq"] = pdf["rank"] + 1
-    return pdf[["seq", "url", "depth"]]
+    ds = (_pages_ds(sf_dir).select_columns(["url", "rank", "depth"])
+          .sort("rank"))
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"seq": pa.compute.add(b["rank"], 1),
+                         "url": b["url"], "depth": b["depth"]})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
 
 
 def q_url_seen(sf_dir: str):
-    pdf = _pages_ds(sf_dir).select_columns(["url"]).to_pandas()
-    return pdf.sort_values("url").reset_index(drop=True)
+    return _pages_ds(sf_dir).select_columns(["url"]).sort("url")
 
 
 def q_extract_links(sf_dir: str):
@@ -415,10 +418,8 @@ def q_export_pages_xml(sf_dir: str):
 
 
 def q_pagespeed_selection(sf_dir: str):
-    from .exports import select_pages_for_pagespeed
-    pdf = _pages_ds(sf_dir).select_columns(
-        ["url", "rank", "status_code", "is_internal"]).to_pandas()
-    urls = select_pages_for_pagespeed(pdf)
+    from .exports import select_pages_for_pagespeed_distributed
+    urls = select_pages_for_pagespeed_distributed(_pages_ds(sf_dir))
     return pd.DataFrame({"slot": range(len(urls)), "url": urls})
 
 
@@ -426,11 +427,9 @@ def q_pagespeed_results(sf_dir: str):
     """O4 selection + the simulated PageSpeed API actor stage (retry/backoff
     semantics of crawler.py:1350-1355 against the deterministic response
     sidecar)."""
-    from .exports import select_pages_for_pagespeed
+    from .exports import select_pages_for_pagespeed_distributed
     from ..stages.pagespeed import pagespeed_results
-    pdf = _pages_ds(sf_dir).select_columns(
-        ["url", "rank", "status_code", "is_internal"]).to_pandas()
-    urls = select_pages_for_pagespeed(pdf)
+    urls = select_pages_for_pagespeed_distributed(_pages_ds(sf_dir))
     return pagespeed_results(urls, _corpus(sf_dir))
 
 

@@ -216,3 +216,37 @@ def test_jsrender_stage(ray_session):
                     "html": ["<body></body>", "<body></body>"]}))
     assert len(stage.page_pool) == 1
     assert stage.page_pool[0].renders == 2
+
+
+def test_pagespeed_selection_distributed_equivalence(ray_session):
+    """The distributed sort+limit selection must equal the sequential-scan
+    reference implementation on tricky shapes: no exact root, homepage that
+    is itself single-segment, fewer than 2 categories."""
+    import pandas as pd
+    import ray.data
+    from seo_crawler_ray.pipelines.exports import (
+        select_pages_for_pagespeed, select_pages_for_pagespeed_distributed)
+
+    cases = [
+        # exact root exists; categories after it
+        [("https://s.ex/", 200, True), ("https://s.ex/a", 200, True),
+         ("https://s.ex/b", 200, True), ("https://s.ex/a/b", 200, True)],
+        # no exact root: shortest path wins; homepage is single-segment too
+        [("https://s.ex/zz", 200, True), ("https://s.ex/a", 200, True),
+         ("https://s.ex/b", 200, True), ("https://s.ex/c", 200, True)],
+        # non-200 and external rows ignored; only one category available
+        [("https://s.ex/", 404, True), ("https://o.ex/x", 200, False),
+         ("https://s.ex/only", 200, True)],
+        # empty candidate set
+        [("https://s.ex/x", 500, True)],
+    ]
+    for rows in cases:
+        pdf = pd.DataFrame({
+            "url": [r[0] for r in rows],
+            "rank": range(len(rows)),
+            "status_code": [r[1] for r in rows],
+            "is_internal": [r[2] for r in rows],
+        })
+        expect = select_pages_for_pagespeed(pdf)
+        got = select_pages_for_pagespeed_distributed(ray.data.from_pandas(pdf))
+        assert got == expect, (rows, got, expect)
