@@ -22,10 +22,11 @@ from .issues import detect_page_issues, duplication_pair_issues, path_excluded
 
 
 # ---------------------------------------------------------------- joins --
-def linked_from(links_ds) -> pd.DataFrame:
-    """target_url -> '|'-joined sources in first-seen (crawl) order.
-    (source,target) pairs are unique in the links table, so ordering by the
-    source's crawl rank reproduces the reference's insertion order."""
+def linked_from(links_ds):
+    """target_url -> '|'-joined sources in first-seen (crawl) order, as a
+    streaming Dataset. (source,target) pairs are unique in the links table,
+    so ordering by the source's crawl rank reproduces the reference's
+    insertion order."""
 
     def collect(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("source_rank")
@@ -35,33 +36,31 @@ def linked_from(links_ds) -> pd.DataFrame:
         })
 
     return (links_ds.select_columns(["target_url", "source_url", "source_rank"])
-            .groupby("target_url").map_groups(collect, batch_format="pandas")
-            .to_pandas().sort_values("target_url").reset_index(drop=True))
+            .groupby("target_url").map_groups(collect, batch_format="pandas"))
 
 
-def link_target_status(links_ds, pages_ds) -> pd.DataFrame:
-    """Broadcast hash join: links.target_url -> pages.status_code. The pages
-    side here is the (small) url->status projection; both-sides-large would
-    use bucket-partitioned joins instead (Ray guide pattern)."""
+def link_target_status(links_ds, pages_ds):
+    """Broadcast hash join, as a streaming Dataset: links.target_url ->
+    pages.status_code (null = target not crawled). The pages side here is
+    the (small) url->status projection; both-sides-large would use
+    bucket-partitioned joins instead (Ray guide pattern)."""
     status_df = pages_ds.select_columns(["url", "status_code"]).to_pandas()
     status_ref = ray.put(dict(zip(status_df["url"], status_df["status_code"])))
-
-    def enrich(batch: pa.Table, lookup) -> pa.Table:
-        statuses = [lookup.get(u) for u in batch["target_url"].to_pylist()]
-        cols = {n: batch[n] for n in batch.column_names if n != "target_status"}
-        cols["target_status"] = pa.array(statuses, pa.int32())
-        return pa.table(cols)
 
     class Enrich:
         def __init__(self, ref):
             self.lookup = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            return enrich(batch, self.lookup)
+            statuses = [self.lookup.get(u)
+                        for u in batch["target_url"].to_pylist()]
+            cols = {n: batch[n] for n in batch.column_names
+                    if n != "target_status"}
+            cols["target_status"] = pa.array(statuses, pa.int32())
+            return pa.table(cols)
 
     return links_ds.map_batches(Enrich, fn_constructor_args=(status_ref,),
-                                batch_format="pyarrow",
-                                concurrency=(1, 4)).to_pandas()
+                                batch_format="pyarrow", concurrency=(1, 4))
 
 
 # ----------------------------------------------------------- aggregates --

@@ -143,14 +143,19 @@ def q_extract_links(sf_dir: str):
 
 
 def q_link_target_status(sf_dir: str):
-    pdf = analysis.link_target_status(_links_ds(sf_dir), _pages_ds(sf_dir))
-    pdf = pdf[["source_url", "target_url", "target_status"]].copy()
-    pdf["target_status"] = pdf["target_status"].fillna(-1).astype("int64")
-    return pdf
+    ds = analysis.link_target_status(_links_ds(sf_dir), _pages_ds(sf_dir))
+
+    def proj(b: pa.Table) -> pa.Table:
+        status = pa.compute.fill_null(b["target_status"], -1).cast(pa.int64())
+        return pa.table({"source_url": b["source_url"],
+                         "target_url": b["target_url"],
+                         "target_status": status})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
 
 
 def q_linked_from(sf_dir: str):
-    return analysis.linked_from(_links_ds(sf_dir))
+    return analysis.linked_from(_links_ds(sf_dir)).sort("target_url")
 
 
 def q_issues(sf_dir: str):
@@ -358,14 +363,14 @@ def q_export_pages_csv(sf_dir: str):
 
 def q_export_links_rows(sf_dir: str):
     from .exports import links_csv_rows
-    pdf = analysis.link_target_status(_links_ds(sf_dir), _pages_ds(sf_dir))
-    # nullable int, not float-with-NaN: 'Not crawled' needs real Nones and
-    # crawled statuses must print as ints
-    pdf["target_status"] = pdf["target_status"].astype("Int64")
-    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-    out = links_csv_rows(tbl)
-    return out.select(["source_url", "target_url", "anchor_text",
-                       "is_internal", "target_status", "placement"])
+    ds = analysis.link_target_status(_links_ds(sf_dir), _pages_ds(sf_dir))
+
+    def rows(b: pa.Table) -> pa.Table:
+        return links_csv_rows(b).select(
+            ["source_url", "target_url", "anchor_text", "is_internal",
+             "target_status", "placement"])
+
+    return ds.map_batches(rows, batch_format="pyarrow")
 
 
 _EXPORT_FIELDS = ["url", "status_code", "title", "word_count"]

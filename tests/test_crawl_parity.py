@@ -67,8 +67,8 @@ def test_linked_from_parity(crawl_output, sim_result, ray_session):
     import ray.data
     from seo_crawler_ray.pipelines.analysis import linked_from
     links_ds = ray.data.read_parquet(f"{crawl_output}/links")
-    got = dict(zip(*[linked_from(links_ds)[c] for c in
-                     ("target_url", "linked_from_joined")]))
+    lf = linked_from(links_ds).to_pandas()
+    got = dict(zip(lf["target_url"], lf["linked_from_joined"]))
     for r in sim_result.results:
         if r["linked_from"]:
             assert got.get(r["url"]) == "|".join(r["linked_from"]), r["url"]
