@@ -65,7 +65,7 @@ def cmd_export(args) -> int:
     elif args.kind == "issues_json":
         from .sources.cache import flagship_config
         cfg = flagship_config()
-        df = analysis.crawl_issues(pages, cfg.issue_exclusion_patterns)
+        df = analysis.crawl_issues(pages, cfg.issue_exclusion_patterns).to_pandas()
         from .pipelines.exports import issues_by_url
         with open(args.out, "w") as f:
             json.dump({"total_issues": len(df),

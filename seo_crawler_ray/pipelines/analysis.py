@@ -110,10 +110,11 @@ def eeat_batch(batch: pa.Table) -> pa.Table:
                      "score": pa.array(comp["score"], pa.int64())})
 
 
-def eeat_scores(pages_ds) -> pd.DataFrame:
-    out = pages_ds.select_columns(_EEAT_COLS).map_batches(
-        eeat_batch, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["score", "url"], ascending=[False, True]).reset_index(drop=True)
+def eeat_scores(pages_ds):
+    """Streaming Dataset sorted by (score desc, url) — O7's ordering."""
+    return pages_ds.select_columns(_EEAT_COLS).map_batches(
+        eeat_batch, batch_format="pyarrow").sort(
+        ["score", "url"], descending=[True, False])
 
 
 def _eeat_summary_partial(batch: pa.Table) -> pa.Table:
@@ -201,10 +202,11 @@ class IssueStage:
                          for k in ("url", "type", "category", "issue", "details")})
 
 
-def crawl_issues(pages_ds, exclusion_patterns: list[str]) -> pd.DataFrame:
+def crawl_issues(pages_ds, exclusion_patterns: list[str]):
+    """Streaming Dataset of issue rows (roughly 4-5x the page count)."""
     return pages_ds.select_columns(_ISSUE_COLS).map_batches(
         IssueStage, fn_constructor_args=(exclusion_patterns,),
-        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+        batch_format="pyarrow", concurrency=(1, 4))
 
 
 def duplication_issues_distributed(pages_ds, threshold: float,

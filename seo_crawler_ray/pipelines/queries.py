@@ -475,10 +475,13 @@ def q_pages_since_wave2(sf_dir: str):
              for f in glob.glob(os.path.join(p, "*.parquet"))]
     if not files:
         return pd.DataFrame({"url": [], "depth": [], "seq": []})
-    ds = ray.data.read_parquet(files)
-    pdf = ds.select_columns(["url", "depth", "rank"]).to_pandas()
-    pdf["seq"] = pdf["rank"] + 1
-    return pdf[["url", "depth", "seq"]]
+    ds = ray.data.read_parquet(files).select_columns(["url", "depth", "rank"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"url": b["url"], "depth": b["depth"],
+                         "seq": pa.compute.add(b["rank"], 1)})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
 
 
 def q_crawl_wave_metrics(sf_dir: str):

@@ -80,7 +80,7 @@ def test_issue_parity(crawl_output, sim_result, ray_session):
     from seo_crawler_ray.sources.cache import flagship_config
     cfg = flagship_config()
     pages_ds = ray.data.read_parquet(f"{crawl_output}/pages")
-    got = crawl_issues(pages_ds, cfg.issue_exclusion_patterns)
+    got = crawl_issues(pages_ds, cfg.issue_exclusion_patterns).to_pandas()
     eng = set(map(tuple, got[["url", "type", "category", "issue", "details"]]
                   .itertuples(index=False)))
     sim = set((x["url"], x["type"], x["category"], x["issue"], x["details"])
