@@ -89,22 +89,40 @@ def _extract_task(tbl: pa.Table, wrapped_robots_ref: list, **kwargs) -> pa.Table
 
 
 @ray.remote(num_returns=2)
-def _rank_write_block(tbl: pa.Table, offset: int, path: str):
-    """Append the global rank column, write this frontier block's parquet
-    part (the durable checkpoint), and return TWO objects: (rows, host
-    counts) stats for the driver, and the ranked table itself — which stays
-    in the object store so the next wave reads its frontier from memory
-    instead of re-reading parquet. One task per block replaces three
-    Dataset executions."""
+def _rank_write_block(tbl: pa.Table, offset: int | None, path: str):
+    """Append the global rank column (unless ``offset is None`` — the block
+    is already ranked by a bucket-realignment pass), write this frontier
+    block's parquet part (the durable checkpoint), and return TWO objects:
+    (rows, host counts) stats for the driver, and the ranked table itself —
+    which stays in the object store so the next wave reads its frontier
+    from memory instead of re-reading parquet. One task per block replaces
+    three Dataset executions."""
     import collections
     if tbl.num_rows == 0 or "host" not in tbl.column_names:
         return (0, {}), None
-    rank = pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
-    out = tbl.append_column("rank", rank)
+    if offset is None:
+        out = tbl
+    else:
+        rank = pa.array(np.arange(offset, offset + tbl.num_rows,
+                                  dtype=np.int64))
+        out = tbl.append_column("rank", rank)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     pq.write_table(out, path)
     return (tbl.num_rows,
             dict(collections.Counter(tbl["host"].to_pylist()))), out
+
+
+@ray.remote
+def _rank_only_block(tbl: pa.Table, offset: int) -> pa.Table:
+    rank = pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
+    return tbl.append_column("rank", rank)
+
+
+def _add_corpus_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    from ..sources.corpus_store import url_bucket
+    buckets = pa.array([url_bucket(u, n_buckets)
+                        for u in batch["url"].to_pylist()], pa.int32())
+    return batch.append_column("_cbucket", buckets)
 
 
 def load_corpus_table(corpus_dir: str) -> pa.Table:
@@ -475,12 +493,29 @@ class CrawlJob:
         counts = ray.get([_count_rows.remote(r) for r in refs])
         offsets = (np.concatenate(([0], np.cumsum(counts)[:-1]))
                    + rank_offset) if counts else []
+        if getattr(self, "_corpus_mode", "") == "bucketed" and sum(counts):
+            # at-scale configuration (bucketed corpus + distributed waves):
+            # assign ranks positionally first (dequeue order), then re-align
+            # storage to corpus buckets with ONE narrow-row exchange so the
+            # next wave's extract reads each bucket file ~once. Rank is an
+            # explicit column, so the re-order is content-free.
+            ranked = [_rank_only_block.remote(r, int(o))
+                      for r, o, c in zip(refs, offsets, counts) if c]
+            realigned = (ray.data.from_arrow_refs(ranked)
+                         .map_batches(_add_corpus_bucket, batch_format="pyarrow",
+                                      fn_kwargs={"n_buckets": self.config.corpus_buckets})
+                         .sort("_cbucket").drop_columns(["_cbucket"])
+                         .materialize())
+            refs = realigned.to_arrow_refs()
+            counts = ray.get([_count_rows.remote(r) for r in refs])
+            offsets = [None] * len(refs)          # ranks already assigned
         next_dir = self._p("frontier", f"wave={wave + 1}")
         import shutil
         shutil.rmtree(next_dir, ignore_errors=True)  # no stale-part mixing
         pairs = [
-            _rank_write_block.remote(r, int(o), os.path.join(
-                next_dir, f"part-{i:05d}.parquet"))
+            _rank_write_block.remote(r, o if o is None else int(o),
+                                     os.path.join(next_dir,
+                                                  f"part-{i:05d}.parquet"))
             for i, (r, o) in enumerate(zip(refs, offsets))]
         results = ray.get([p[0] for p in pairs])
         # ranked blocks stay in the object store for the next wave's read

@@ -162,15 +162,21 @@ def test_bucketed_corpus_mode_identical(ray_session, tiny_corpus, tmp_path):
     from seo_crawler_ray.sources.cache import flagship_config
 
     outs = {}
-    for mode in ("broadcast", "bucketed"):
+    # bucketed+distributed = the at-scale configuration (threshold=0 forces
+    # the distributed frontier path incl. the bucket-realignment exchange)
+    for name, mode, thresh in (("broadcast", "broadcast", 10 ** 9),
+                               ("bucketed", "bucketed", 10 ** 9),
+                               ("bucketed_dist", "bucketed", 0)):
         cfg = flagship_config(seen_shards=2, politeness_shards=2,
-                              corpus_mode=mode, corpus_buckets=16)
-        out = str(tmp_path / mode)
+                              corpus_mode=mode, corpus_buckets=16,
+                              wave_compact_threshold=thresh)
+        out = str(tmp_path / name)
         CrawlJob(tiny_corpus, out, cfg).run()
         pages = pads.dataset(f"{out}/pages").to_table().sort_by("rank")
-        outs[mode] = list(zip(pages["rank"].to_pylist(),
+        outs[name] = list(zip(pages["rank"].to_pylist(),
                               pages["url"].to_pylist()))
     assert outs["broadcast"] == outs["bucketed"]
+    assert outs["broadcast"] == outs["bucketed_dist"]
 
 
 def test_caps_max_urls_and_depth(ray_session, tiny_corpus, tmp_path,
