@@ -26,7 +26,6 @@ oracle is that contract, and the engine must reproduce it exactly.
 from __future__ import annotations
 
 from collections import deque
-from urllib.parse import urlparse
 
 from ..config import CrawlConfig
 from ..functions.extract import empty_result, extract_page
