@@ -263,6 +263,9 @@ from html.parser import (attrfind_tolerant as _ATTR,
                          tagfind_tolerant as _TAGNAME)
 
 _ENDTAG = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_TAG_CONTINUATION = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
+_COMMENTCLOSE = _re.compile(r"--\s*>")     # html.parser's _markupbase close
 _CDATA_CLOSE = {
     t: _re.compile(rf"</\s*{t}", _re.IGNORECASE)
     for t in ("script", "style")
@@ -289,10 +292,10 @@ class _FastTreeBuilder:
         self.text_parts: list[str] = []
 
     def _data(self, data: str, convert: bool) -> None:
+        if convert and "&" in data:
+            data = _unescape(data)     # may become '' (invalid charrefs)
         if not data:
             return
-        if convert and "&" in data:
-            data = _unescape(data)
         self.stack[-1].children.append(data)
         self.text_parts.append(data)
 
@@ -334,28 +337,71 @@ class _FastTreeBuilder:
                 if m:
                     self._end(m.group(1).lower())
                     pos = m.end()
-                else:                      # bogus end tag -> skip to '>'
-                    gt = find(">", lt)
-                    pos = n if gt < 0 else gt + 1
+                elif s.startswith("</>", lt):
+                    pos = lt + 3           # tokenizer end-tag-open state
+                else:
+                    nm = _TAGNAME.match(s, lt + 2)
+                    if nm:                 # tolerant endtag: '</A/x>' still
+                        gt = find(">", nm.end())   # closes A at the next '>'
+                        if gt < 0:
+                            pos = self._eof_recover(s, lt, n, find)
+                        else:
+                            self._end(nm.group(1).lower())
+                            pos = gt + 1
+                    else:                  # bogus comment: drop to '>'
+                        gt = find(">", lt)
+                        if gt < 0:
+                            self._data(s[lt:], True)
+                            pos = n
+                        else:
+                            pos = gt + 1
             elif nxt.isalpha():
                 pos = self._parse_starttag(s, lt, n, find)
             elif s.startswith("<!--", lt):
-                end = find("-->", lt + 4)
-                pos = n if end < 0 else end + 3
+                cm = _COMMENTCLOSE.search(s, lt + 4)
+                if cm is None:
+                    pos = self._eof_recover(s, lt, n, find)
+                else:
+                    pos = cm.end()
             elif nxt in ("!", "?"):
                 gt = find(">", lt)
-                pos = n if gt < 0 else gt + 1
+                if gt < 0:
+                    pos = self._eof_recover(s, lt, n, find)
+                else:
+                    pos = gt + 1
             else:                          # lone '<' is text
                 self._data("<", False)
                 pos = lt + 1
 
+    def _eof_recover(self, s: str, lt: int, n: int, find) -> int:
+        """Unterminated <!-- / <! / <? construct: html.parser's close()
+        recovery emits data up to and including the NEXT '>' (converted)
+        and resumes parsing there; with no '>' left it degrades to '<' +
+        trailing text — identical merged text to flushing the rest."""
+        gt = find(">", lt + 1)
+        if gt >= 0:
+            self._data(s[lt:gt + 1], True)
+            return gt + 1
+        self._data(s[lt:], True)
+        return n
+
     def _parse_starttag(self, s: str, lt: int, n: int, find) -> int:
+        # endpos exactly as html.parser's check_for_whole_start_tag: the
+        # tolerant match bound decides; '>' / '/>' close the tag, a
+        # continuation char (letter, '=', '/') or EOF means "incomplete"
+        # (close()-recovery = data up to the next '>'), anything else is
+        # junk bounded at the match end
         endm = _STARTEND.match(s, lt)
-        gtpos = find(">", endm.end() if endm else lt + 1)
-        if gtpos < 0:                      # EOF inside tag: stdlib close()
-            self._data(s[lt:], True)       # flushes the tail converted
-            return n
-        endpos = gtpos + 1
+        j = endm.end()
+        nxt2 = s[j:j + 1]
+        if nxt2 == ">":
+            endpos = j + 1
+        elif nxt2 == "/" and s.startswith("/>", j):
+            endpos = j + 2
+        elif nxt2 == "" or nxt2 in _TAG_CONTINUATION:
+            return self._eof_recover(s, lt, n, find)
+        else:
+            endpos = j if j > lt else lt + 1
         m = _TAGNAME.match(s, lt + 1)
         tag = m.group(1).lower()
         attrs: dict = {}
@@ -377,8 +423,8 @@ class _FastTreeBuilder:
                 attrs[name] = value
             k = am.end()
         rest = s[k:endpos].strip()
-        if rest not in (">", "/>"):        # junk in tag: stdlib emits as data
-            self._data(s[lt:endpos], False)
+        if rest not in (">", "/>"):        # junk in tag: stdlib emits the
+            self._data(s[lt:endpos], True)     # whole tag as converted data
             return endpos
         self_closing = rest == "/>"
         self._start(tag, attrs, self_closing)
@@ -390,9 +436,9 @@ class _FastTreeBuilder:
                 em2 = _ENDTAG.match(s, cm.start())
                 self._end(tag)
                 pos = em2.end() if em2 else find(">", cm.start()) + 1
-            else:                          # unterminated CDATA: rest is data
-                self._data(s[pos:], False)
-                pos = n
+            else:                          # unterminated CDATA at EOF:
+                pos = n                    # html.parser drops it (goahead
+                                           # breaks in cdata mode w/o close)
         return pos
 
 

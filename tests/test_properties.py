@@ -50,3 +50,84 @@ def test_minhash_self_similarity(words):
 def test_strip_www_at_most_once(netloc):
     out = strip_www("www." + netloc)
     assert out == netloc  # exactly one leading www. removed
+
+
+# --------------------------------------------------- fast-scanner fuzz ----
+_frag = st.one_of(
+    st.text(alphabet="ab <>&;#x/=\"'!?-\n\tA1", min_size=0, max_size=12),
+    st.sampled_from([
+        "<div>", "</div>", "<p class='x'>", "<img src=a.png>", "<br/>",
+        "&amp;", "&lt;", "&#65;", "&bogus;", "<!-- c -->", "<!doctype html>",
+        "<script>", "</script>", "a<b", "<a href=\"/x?a=1&amp;b\">",
+        "<SPAN Data-X='q>r'>", "</span>", "<td nowrap>", "text",
+        "<style>", "</style>", "<ul><li>i<li>j</ul>", "<?pi?>",
+    ]),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_frag, min_size=0, max_size=14))
+def test_fast_scanner_fuzz_parity(frags):
+    """Random tag-soup: the regex scanner must match html.parser on tree
+    shape, element index, attributes and extracted text. Adjacent text
+    chunks are merged before comparing — chunk granularity differs on
+    malformed '<'-as-text inputs and is semantically irrelevant (.string
+    is only read inside script CDATA, which is single-chunk in both)."""
+    from seo_crawler_ray.htmlparse.dom import parse_html_indexed, parse_html_stdlib
+    html = "".join(frags)
+
+    def sig(doc):
+        els = [(e.name, tuple(sorted(e.attrs.items()))) for e in doc.elements]
+
+        def walk(node):
+            out, buf = [], []
+            for c in node.children:
+                if isinstance(c, str):
+                    buf.append(c)
+                else:
+                    if buf:
+                        out.append(("T", "".join(buf)))
+                        buf = []
+                    out.append(("E", c.name,
+                                tuple(sorted(c.attrs.items())), walk(c)))
+            if buf:
+                out.append(("T", "".join(buf)))
+            return tuple(out)
+
+        return els, doc.get_text(), walk(doc.root)
+
+    assert sig(parse_html_indexed(html)) == sig(parse_html_stdlib(html)), html
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(min_value=-1e9, max_value=1e9,
+                          allow_nan=False), min_size=1, max_size=20))
+def test_round_half_up_matches_decimal(xs):
+    """round_half_up == decimal ROUND_HALF_UP (DuckDB ROUND) wherever the
+    double is exactly representable enough to decide the .5 case."""
+    import numpy as np
+    from decimal import Decimal, ROUND_HALF_UP
+    from seo_crawler_ray.pipelines.arrowutil import round_half_up
+    got = round_half_up(np.array(xs))
+    for x, g in zip(xs, got):
+        want = int(Decimal(repr(x)).quantize(0, rounding=ROUND_HALF_UP)) \
+            if abs(x - int(x)) in (0.5,) else None
+        # exact .5 boundary: half away from zero
+        if want is not None:
+            assert g == want, (x, g, want)
+        else:
+            assert abs(g - x) <= 0.5 + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from("abcde"),
+                          st.text(alphabet="xyz", max_size=3)),
+                min_size=0, max_size=8),
+       st.sampled_from("abcde"))
+def test_map_col_get_matches_dict(pairs, key):
+    """arrowutil.map_col_get == dict(pairs).get(key, '') (last key wins)."""
+    import pyarrow as pa
+    from seo_crawler_ray.pipelines.arrowutil import map_col_get
+    arr = pa.array([pairs], pa.map_(pa.string(), pa.string()))
+    got = map_col_get(arr, key)[0].as_py()
+    assert got == dict(pairs).get(key, "")
