@@ -11,8 +11,9 @@ here (or in the library) calls ``ray.init``/``ray.shutdown``.
 - ``oracle_sql()``: matching DuckDB SQL. Crawl/extraction queries read the
   corpus sidecar oracles (generator truth / sequential-reference replay)
   via read_parquet paths; training-data queries run on the pre-registered
-  views. Queries without an entry here (minhash/simhash near-dups, langid)
-  are verified by pytest against planted fixtures instead.
+  views. Queries without an entry here (minhash/simhash near-dups, the
+  approximate ANN/LSH variants, wave metrics) are verified by pytest
+  against planted fixtures / recall bounds instead.
 """
 from __future__ import annotations
 
