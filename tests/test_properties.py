@@ -131,3 +131,25 @@ def test_map_col_get_matches_dict(pairs, key):
     arr = pa.array([pairs], pa.map_(pa.string(), pa.string()))
     got = map_col_get(arr, key)[0].as_py()
     assert got == dict(pairs).get(key, "")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="ab c", min_size=0, max_size=60))
+def test_winnow_matches_bruteforce(text):
+    """winnow_batch == the naive reference: md5 every k-gram, take the min
+    hex per length-w window, distinct per doc."""
+    import hashlib
+    import pyarrow as pa
+    from seo_crawler_ray.pipelines.textops import winnow_batch
+    k, w = 8, 16
+    out = winnow_batch(pa.table({"doc_id": [0], "text": [text]}),
+                       k=k, w=w)
+    got = set(out["fp"].to_pylist())
+    n = max(len(text) - k + 1, 1)
+    grams = [hashlib.md5(text[i:i + k].encode()).hexdigest()
+             for i in range(n)]
+    want = set()
+    if n >= w:
+        for i in range(w - 1, n):
+            want.add(min(grams[i - w + 1:i + 1]))
+    assert got == want
