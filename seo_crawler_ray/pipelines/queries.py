@@ -575,6 +575,24 @@ def q_repetition_stats(sf_dir: str):
                                         batch_format="pyarrow")
 
 
+def q_doc_sample_split(sf_dir: str):
+    """Deterministic train/val/test split assignment (5%/5% held out)."""
+    return _docs_ds(sf_dir).map_batches(textops.sample_split_batch,
+                                        batch_format="pyarrow")
+
+
+_MIXTURE_RATES = {"src0": 250, "src1": 500, "src2": 750, "src3": 0}
+
+
+def q_doc_mixture_sample(sf_dir: str):
+    """Per-source mixture sampling at fixed weights (unlisted sources keep
+    everything); returns the surviving (doc_id, source) rows."""
+    return (_docs_ds(sf_dir).select_columns(["doc_id", "source"])
+            .map_batches(textops.mixture_sample_batch,
+                         batch_format="pyarrow",
+                         fn_kwargs={"rates_permille": dict(_MIXTURE_RATES)}))
+
+
 def q_doc_winnow(sf_dir: str):
     """Winnowing fingerprints (k=8-gram md5, window w=16) per document."""
     return _docs_ds(sf_dir).map_batches(textops.winnow_batch,
@@ -787,6 +805,8 @@ def queries() -> dict:
         "doc_fingerprints": q_doc_fingerprints,
         "doc_winnow": q_doc_winnow,
         "repetition_stats": q_repetition_stats,
+        "doc_sample_split": q_doc_sample_split,
+        "doc_mixture_sample": q_doc_mixture_sample,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "top_events_per_user": q_top_events_per_user,
@@ -1267,6 +1287,29 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                         ELSE 0 END * 10000.0 + 0.5) AS BIGINT)
                        AS top_word_frac_e4
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        "doc_sample_split": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS UBIGINT) % 1000 AS bucket
+              FROM documents)
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CASE WHEN bucket < 50 THEN 'val'
+                        WHEN bucket < 100 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM b""",
+        "doc_mixture_sample": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS UBIGINT) % 1000 AS bucket
+              FROM documents)
+            SELECT doc_id, source FROM b
+            WHERE bucket < CASE source WHEN 'src0' THEN 250
+                                       WHEN 'src1' THEN 500
+                                       WHEN 'src2' THEN 750
+                                       WHEN 'src3' THEN 0
+                                       ELSE 1000 END""",
         "doc_winnow": """
             WITH pos AS (
               SELECT doc_id, text,

@@ -553,6 +553,42 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pa.array(n, pa.int64()))
 
 
+def sample_split_batch(batch: pa.Table, val_permille: int = 50,
+                       test_permille: int = 50,
+                       id_col: str = "doc_id") -> pa.Table:
+    """Deterministic train/val/test assignment — the held-out-split
+    primitive every training-data pipeline needs: stable under reruns,
+    shard-order-independent and join-free, because the split is a pure
+    function of the document id (first 8 hex chars of md5(str(id)) mod
+    1000). Mirrored exactly by SQL, so the assignment is value-checked."""
+    ids = batch[id_col].to_pylist()
+    bucket = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                       % 1000 for i in ids], dtype=np.int64)
+    split = np.where(bucket < val_permille, "val",
+                     np.where(bucket < val_permille + test_permille,
+                              "test", "train"))
+    return pa.table({id_col: batch[id_col],
+                     "bucket": pa.array(bucket),
+                     "split": pa.array(split.tolist(), pa.string())})
+
+
+def mixture_sample_batch(batch: pa.Table, rates_permille: dict[str, int],
+                         default_permille: int = 1000,
+                         id_col: str = "doc_id",
+                         source_col: str = "source") -> pa.Table:
+    """Per-source mixture sampling (the data-mixture primitive: upsample /
+    downsample each source to its training weight) with the same
+    deterministic id-hash bucket as ``sample_split_batch`` — rerun-stable
+    and shard-order-independent. Keeps a row iff bucket < rate[source]."""
+    ids = batch[id_col].to_pylist()
+    sources = batch[source_col].to_pylist()
+    bucket = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                       % 1000 for i in ids], dtype=np.int64)
+    limits = np.array([rates_permille.get(s, default_permille)
+                       for s in sources], dtype=np.int64)
+    return batch.filter(pa.array(bucket < limits))
+
+
 def winnow_batch(batch: pa.Table, k: int = 8, w: int = 16,
                  text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03,

@@ -338,3 +338,36 @@ def test_simhash_mass_duplicate_bucket(ray_session):
     expect = {(i, j) for i in range(n) for j in range(i + 1, n)}
     assert got >= expect
     assert all(h == 0 for h in pairs[pairs["b"] < n]["hamming"])
+
+
+def test_sample_split_deterministic(ray_session):
+    """Split assignment is a pure function of the id: stable across
+    repartitionings and reruns; rates land near the configured permilles."""
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import sample_split_batch
+    df = pd.DataFrame({"doc_id": range(5000)})
+    a = ray.data.from_pandas(df).map_batches(
+        sample_split_batch, batch_format="pyarrow").to_pandas()
+    b = ray.data.from_pandas(df.sample(frac=1, random_state=1)) \
+        .repartition(7).map_batches(
+        sample_split_batch, batch_format="pyarrow").to_pandas()
+    am = dict(zip(a["doc_id"], a["split"]))
+    bm = dict(zip(b["doc_id"], b["split"]))
+    assert am == bm
+    frac_val = (a["split"] == "val").mean()
+    frac_test = (a["split"] == "test").mean()
+    assert 0.03 < frac_val < 0.07 and 0.03 < frac_test < 0.07
+
+
+def test_mixture_sample_rates(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import mixture_sample_batch
+    n = 4000
+    df = pd.DataFrame({"doc_id": range(n),
+                       "source": ["a" if i % 2 else "b" for i in range(n)]})
+    out = ray.data.from_pandas(df).map_batches(
+        mixture_sample_batch, batch_format="pyarrow",
+        fn_kwargs={"rates_permille": {"a": 250, "b": 0}}).to_pandas()
+    assert set(out["source"]) == {"a"}
+    kept = len(out) / (n / 2)
+    assert 0.2 < kept < 0.3
