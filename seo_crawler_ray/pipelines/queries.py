@@ -593,6 +593,11 @@ def q_doc_mixture_sample(sf_dir: str):
                          fn_kwargs={"rates_permille": dict(_MIXTURE_RATES)}))
 
 
+def q_doc_packing(sf_dir: str):
+    """Context-window packing assignment at a 2048-token budget."""
+    return textops.pack_documents(_docs_ds(sf_dir), budget_tokens=2048)
+
+
 def q_doc_winnow(sf_dir: str):
     """Winnowing fingerprints (k=8-gram md5, window w=16) per document."""
     return _docs_ds(sf_dir).map_batches(textops.winnow_batch,
@@ -807,6 +812,7 @@ def queries() -> dict:
         "repetition_stats": q_repetition_stats,
         "doc_sample_split": q_doc_sample_split,
         "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_packing": q_doc_packing,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "top_events_per_user": q_top_events_per_user,
@@ -1310,6 +1316,21 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                                        WHEN 'src2' THEN 750
                                        WHEN 'src3' THEN 0
                                        ELSE 1000 END""",
+        "doc_packing": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                         '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+                         AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(start // 2048 AS BIGINT) AS pack_id
+            FROM c""",
         "doc_winnow": """
             WITH pos AS (
               SELECT doc_id, text,

@@ -572,6 +572,45 @@ def sample_split_batch(batch: pa.Table, val_permille: int = 50,
                      "split": pa.array(split.tolist(), pa.string())})
 
 
+def pack_documents(docs_ds, budget_tokens: int = 2048,
+                   id_col: str = "doc_id"):
+    """Assign each document to a fixed-token-budget pack (the pretraining
+    concat-then-chunk primitive): documents are laid out in id order and a
+    doc belongs to pack floor(start_offset / budget) of the concatenated
+    token stream — docs may straddle pack boundaries, exactly like context-
+    window packing with splitting.
+
+    Distributed scan shape: token counts are summed per sorted block, the
+    driver prefix-sums only the per-block TOTALS (a handful of ints), and
+    each block task turns its local cumulative sums into global offsets.
+    Returns a Dataset of (doc_id, n_tokens, pack_id)."""
+    import ray
+    import ray.data
+
+    toks = (docs_ds.map_batches(token_count_batch, batch_format="pyarrow")
+            .select_columns([id_col, "n_tokens"])
+            .sort(id_col).materialize())
+    refs = toks.to_arrow_refs()
+
+    @ray.remote
+    def block_total(tbl: pa.Table) -> int:
+        return int(np.sum(tbl["n_tokens"].to_numpy(zero_copy_only=False)))
+
+    totals = ray.get([block_total.remote(r) for r in refs])
+    prefix = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def assign(tbl: pa.Table, base: int) -> pa.Table:
+        n = tbl["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = base + np.cumsum(n) - n
+        return pa.table({id_col: tbl[id_col],
+                         "n_tokens": tbl["n_tokens"],
+                         "pack_id": pa.array(start // budget_tokens)})
+
+    out_refs = [assign.remote(r, int(p)) for r, p in zip(refs, prefix)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def mixture_sample_batch(batch: pa.Table, rates_permille: dict[str, int],
                          default_permille: int = 1000,
                          id_col: str = "doc_id",

@@ -371,3 +371,24 @@ def test_mixture_sample_rates(ray_session):
     assert set(out["source"]) == {"a"}
     kept = len(out) / (n / 2)
     assert 0.2 < kept < 0.3
+
+
+def test_pack_documents_prefix_sum(ray_session):
+    """Distributed scan: pack assignment equals a sequential cumulative sum
+    regardless of block layout; packs are contiguous in id order and no
+    pack exceeds the budget by more than one straddling document."""
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import pack_documents
+    rng = np.random.RandomState(4)
+    texts = [" ".join(f"w{j}" for j in range(rng.randint(5, 60)))
+             for _ in range(300)]
+    df = pd.DataFrame({"doc_id": range(300), "text": texts})
+    out = pack_documents(ray.data.from_pandas(df).repartition(7),
+                         budget_tokens=256).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # sequential reference
+    start = 0
+    for _, row in out.iterrows():
+        assert row["pack_id"] == start // 256
+        start += row["n_tokens"]
+    assert out["pack_id"].is_monotonic_increasing
