@@ -266,8 +266,11 @@ _ENDTAG = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _TAG_CONTINUATION = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
 _COMMENTCLOSE = _re.compile(r"--\s*>")     # html.parser's _markupbase close
+# html.parser (3.11) set_cdata_mode: interesting = r'</\s*%s\s*>' — the close
+# must include the '>'; '</scriptfoo>' or a truncated '</script' at EOF never
+# leaves CDATA mode and all buffered content is dropped.
 _CDATA_CLOSE = {
-    t: _re.compile(rf"</\s*{t}", _re.IGNORECASE)
+    t: _re.compile(rf"</\s*{t}\s*>", _re.IGNORECASE)
     for t in ("script", "style")
 }
 CDATA_CONTENT_ELEMENTS = ("script", "style")
@@ -431,11 +434,10 @@ class _FastTreeBuilder:
         pos = endpos
         if not self_closing and tag in CDATA_CONTENT_ELEMENTS:
             cm = _CDATA_CLOSE[tag].search(s, pos)
-            if cm:
-                self._data(s[pos:cm.start()], False)
-                em2 = _ENDTAG.match(s, cm.start())
-                self._end(tag)
-                pos = em2.end() if em2 else find(">", cm.start()) + 1
+            if cm:                         # full '</tag>' close: emit raw
+                self._data(s[pos:cm.start()], False)   # data, close, resume
+                self._end(tag)             # right after the matched '>'
+                pos = cm.end()
             else:                          # unterminated CDATA at EOF:
                 pos = n                    # html.parser drops it (goahead
                                            # breaks in cdata mode w/o close)

@@ -173,8 +173,10 @@ class IssueStage:
         so_on = arrowutil.bool_np(pc.greater(pc.utf8_length(batch["schema_org"]), 2))
         n_img, img_off = arrowutil.list_counts(batch["images"])
         imgs = batch["images"].combine_chunks()
-        alt_empty = pc.equal(imgs.flatten().field("alt"), "") \
-            .to_numpy(zero_copy_only=False)
+        # fill_null: reference counts `not img.get('alt')` — a null alt is a
+        # missing alt, and equal(null,'') would propagate null into the sum.
+        alt_empty = pc.equal(pc.fill_null(imgs.flatten().field("alt"), ""),
+                             "").to_numpy(zero_copy_only=False)
         n_noalt = arrowutil.segment_sums(alt_empty, img_off)
         scalars = {c: batch[c].to_pylist()
                    for c in _ISSUE_COLS if c not in

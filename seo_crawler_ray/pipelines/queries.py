@@ -90,8 +90,12 @@ def _project_pages(batch: pa.Table) -> pa.Table:
                  "canonical_url", "internal_links", "external_links"):
         cols[name] = batch[name]
     cols["seq"] = pa.compute.add(batch["rank"], 1)
-    cols["h2_joined"] = pa.compute.binary_join(batch["h2"], " | ")
-    cols["h3_joined"] = pa.compute.binary_join(batch["h3"], " | ")
+    # fill_null('') preserves the ' | '.join(r['h2'] or []) contract: a null
+    # list would otherwise join to null rather than the empty string.
+    cols["h2_joined"] = pa.compute.fill_null(
+        pa.compute.binary_join(batch["h2"], " | "), "")
+    cols["h3_joined"] = pa.compute.fill_null(
+        pa.compute.binary_join(batch["h3"], " | "), "")
     cols["og_title"] = arrowutil.map_col_get(batch["og_tags"], "title")
     cols["og_author"] = arrowutil.map_col_get(batch["og_tags"], "author")
     cols["twitter_card"] = arrowutil.map_col_get(batch["twitter_tags"], "card")
@@ -100,7 +104,9 @@ def _project_pages(batch: pa.Table) -> pa.Table:
     n_images, img_off = arrowutil.list_counts(batch["images"])
     cols["n_images"] = n_images
     imgs = batch["images"].combine_chunks()
-    alt_empty = pa.compute.equal(imgs.flatten().field("alt"), "") \
+    # fill_null: a null alt counts as missing (reference: `not img.get('alt')`).
+    alt_empty = pa.compute.equal(
+        pa.compute.fill_null(imgs.flatten().field("alt"), ""), "") \
         .to_numpy(zero_copy_only=False)
     cols["images_without_alt"] = pa.array(
         arrowutil.segment_sums(alt_empty, img_off))

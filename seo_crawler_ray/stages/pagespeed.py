@@ -62,9 +62,18 @@ def ensure_pagespeed_sidecar(corpus_dir: str) -> str:
             "lcp_e2": pa.array(d["lcp_e2"]),
             "fail_429": pa.array(d["fail_429"]),
         }))
-    tmp = path + ".tmp"
-    pq.write_table(pa.concat_tables(parts), tmp)
-    os.replace(tmp, path)
+    # Unique temp name: concurrent callers (two workers racing to build the
+    # sidecar) must never truncate each other's half-written file; os.replace
+    # of a private temp is atomic — last writer wins with identical bytes.
+    import tempfile
+    fd, tmp = tempfile.mkstemp(dir=corpus_dir, suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(pa.concat_tables(parts), tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return path
 
 

@@ -238,6 +238,18 @@ def test_fast_scanner_matches_stdlib_parser():
         '<div/>sibling',
         '<a title="a>b">gt in attr</a>',
         '<ScRiPt>MiXeD</sCrIpT>done',
+        # truncated / near-miss CDATA closers: html.parser's cdata regex is
+        # r'</\s*script\s*>' — no '>' means the content is dropped at EOF
+        # (ADVICE r02: the old fast path looped forever on these).
+        '<p>hi</p><script>alert(1)</script',
+        '<p>hi</p><style>.a{}</style',
+        '<script>x</script xyz',
+        '<script>x</scriptfoo>more',
+        '<script>x</script >tail',
+        '<script>x</script\t\n >y',
+        '<script>a</style>b</script>c',
+        '<style>a</script>b</style>c',
+        '<script></scrip t>x</script>y',
     ]
     for c in cases:
         assert sig(parse_html_indexed(c)) == sig(parse_html_stdlib(c)), c

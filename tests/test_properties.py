@@ -61,6 +61,8 @@ _frag = st.one_of(
         "<script>", "</script>", "a<b", "<a href=\"/x?a=1&amp;b\">",
         "<SPAN Data-X='q>r'>", "</span>", "<td nowrap>", "text",
         "<style>", "</style>", "<ul><li>i<li>j</ul>", "<?pi?>",
+        # truncated/near-miss CDATA closers (ADVICE r02: old scanner hung)
+        "</script", "</style", "</script foo", "</scriptz>",
     ]),
 )
 
