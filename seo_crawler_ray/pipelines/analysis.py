@@ -39,12 +39,35 @@ def linked_from(links_ds):
             .groupby("target_url").map_groups(collect, batch_format="pandas"))
 
 
-def link_target_status(links_ds, pages_ds):
-    """Broadcast hash join, as a streaming Dataset: links.target_url ->
-    pages.status_code (null = target not crawled). The pages side here is
-    the (small) url->status projection; both-sides-large would use
-    bucket-partitioned joins instead (Ray guide pattern)."""
-    status_df = pages_ds.select_columns(["url", "status_code"]).to_pandas()
+# Above this many pages the url->status dict stops being a sane broadcast
+# (~100 B/url -> ~200 MB at the gate, ~1 TB at the 10^10-URL design scale)
+# and the join switches to the bucketed co-shuffle. Same auto-selection
+# shape as sources.corpus_store's broadcast/bucketed fetcher.
+BROADCAST_PAGE_LIMIT = 2_000_000
+
+
+def link_target_status(links_ds, pages_ds, mode: str = "auto",
+                       broadcast_page_limit: int = BROADCAST_PAGE_LIMIT):
+    """links.target_url -> pages.status_code (null = target not crawled),
+    as a streaming Dataset (J1, link_manager.py:193-202).
+
+    mode='broadcast' (auto below ``broadcast_page_limit`` pages): the
+    url->status projection rides as one broadcast dict. mode='bucketed'
+    (auto above — both sides large): hash-bucket co-shuffle left join;
+    no driver materialization of either side (coshuffle.py).
+    """
+    status_ds = pages_ds.select_columns(["url", "status_code"])
+    if mode == "auto":
+        mode = ("broadcast" if status_ds.count() <= broadcast_page_limit
+                else "bucketed")
+
+    if mode == "bucketed":
+        from .coshuffle import bucketed_left_attach
+        return bucketed_left_attach(
+            links_ds, "target_url", status_ds, "url", "status_code",
+            out_col="target_status", out_type=pa.int32())
+
+    status_df = status_ds.to_pandas()
     status_ref = ray.put(dict(zip(status_df["url"], status_df["status_code"])))
 
     class Enrich:

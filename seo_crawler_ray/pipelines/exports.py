@@ -354,13 +354,47 @@ def viz_edges_distributed(pages_ds, links_ds, max_nodes: int = 500) -> pd.DataFr
     return edges.drop_duplicates().reset_index(drop=True)
 
 
-def rebuild_frontier_from_links(pages_ds, links_ds) -> pd.DataFrame:
+def rebuild_frontier_from_links(pages_ds, links_ds, mode: str = "auto",
+                                broadcast_page_limit: int | None = None) -> pd.DataFrame:
     """J5 resume rebuild (crawler.py:455-476): internal link targets not in
-    the crawled set, deduped first-seen. Expressed as a broadcast anti-join
-    (the crawled url set is the small side)."""
+    the crawled set, deduped first-seen (min source_rank per target).
+
+    mode='broadcast' (auto below the page limit): the crawled-url set is
+    the small side and rides as one broadcast set. mode='bucketed' (auto
+    above — post-crash frontiers over a huge crawl): hash-bucket co-shuffle
+    anti-join with the min-rank dedup *inside* the shuffle (coshuffle.py),
+    so only the already-deduped pending frontier reaches the driver.
+    """
     import ray
 
-    crawled = set(pages_ds.select_columns(["url"]).to_pandas()["url"])
+    from .analysis import BROADCAST_PAGE_LIMIT
+
+    if broadcast_page_limit is None:
+        broadcast_page_limit = BROADCAST_PAGE_LIMIT
+    crawled_ds = pages_ds.select_columns(["url"])
+    if mode == "auto":
+        mode = ("broadcast" if crawled_ds.count() <= broadcast_page_limit
+                else "bucketed")
+
+    if mode == "bucketed":
+        from .coshuffle import bucketed_anti_min
+
+        def internal_only(batch: pa.Table) -> pa.Table:
+            return batch.filter(batch["is_internal"].combine_chunks()
+                                if isinstance(batch["is_internal"], pa.ChunkedArray)
+                                else batch["is_internal"])
+
+        probe = (links_ds.select_columns(
+            ["target_url", "is_internal", "source_rank"])
+            .map_batches(internal_only, batch_format="pyarrow"))
+        pending = bucketed_anti_min(
+            probe, "target_url", "source_rank",
+            crawled_ds, "url").to_pandas()
+        pending = (pending.sort_values("source_rank")
+                   .reset_index(drop=True))
+        return pending[["target_url"]]
+
+    crawled = set(crawled_ds.to_pandas()["url"])
     crawled_ref = ray.put(crawled)
 
     def anti(batch: pa.Table, crawled_set) -> pa.Table:

@@ -250,3 +250,57 @@ def test_pagespeed_selection_distributed_equivalence(ray_session):
         expect = select_pages_for_pagespeed(pdf)
         got = select_pages_for_pagespeed_distributed(ray.data.from_pandas(pdf))
         assert got == expect, (rows, got, expect)
+
+
+def test_bucketed_coshuffle_joins_match_broadcast(ray_session):
+    """J1/J5 at the 100 TB design point: the bucketed co-shuffle paths must
+    produce exactly the broadcast-dict results — including null statuses
+    for uncrawled targets and min-rank first-seen dedup — without either
+    side ever reaching the driver (coshuffle.py)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from seo_crawler_ray.pipelines.analysis import link_target_status
+    from seo_crawler_ray.pipelines.exports import rebuild_frontier_from_links
+
+    rng = np.random.default_rng(7)
+    n_pages, n_links = 400, 3000
+    pages = pd.DataFrame({
+        "url": [f"https://s{i%7}.ex/p{i}" for i in range(n_pages)],
+        "status_code": rng.choice([200, 301, 404, 500], n_pages).astype("int32"),
+    })
+    # targets: mix of crawled urls, uncrawled urls, repeats across ranks
+    tgt_pool = pages["url"].tolist() + \
+        [f"https://s{i%7}.ex/missing{i}" for i in range(150)]
+    links = pd.DataFrame({
+        "source_url": [f"https://s0.ex/p{i % n_pages}" for i in range(n_links)],
+        "target_url": rng.choice(tgt_pool, n_links),
+        "is_internal": rng.random(n_links) < 0.8,
+        "source_rank": rng.integers(0, 5000, n_links),
+        "anchor_text": [f"a{i}" for i in range(n_links)],
+    })
+    pages_ds = ray.data.from_pandas(pages).repartition(8)
+    links_ds = ray.data.from_pandas(links).repartition(16)
+
+    def norm(df):
+        return (df.sort_values(list(df.columns))
+                .reset_index(drop=True).astype(object)
+                .where(pd.notna(df.sort_values(list(df.columns))
+                                .reset_index(drop=True)), None))
+
+    bc = link_target_status(links_ds, pages_ds, mode="broadcast").to_pandas()
+    bk = link_target_status(links_ds, pages_ds, mode="bucketed").to_pandas()
+    assert list(bc.columns) == list(bk.columns)
+    pd.testing.assert_frame_equal(
+        bc.sort_values(["anchor_text"]).reset_index(drop=True),
+        bk.sort_values(["anchor_text"]).reset_index(drop=True),
+        check_like=True)
+    # null target_status survives for uncrawled targets in both paths
+    assert bk["target_status"].isna().any()
+
+    fb = rebuild_frontier_from_links(pages_ds, links_ds, mode="broadcast")
+    fk = rebuild_frontier_from_links(pages_ds, links_ds, mode="bucketed")
+    # identical deduped pending sets; order among equal min-ranks is
+    # unspecified (the query contract is order-insensitive)
+    assert sorted(fb["target_url"]) == sorted(fk["target_url"])
+    assert fk["target_url"].is_unique
