@@ -113,10 +113,18 @@ def shingle_blob_batch(batch: pa.Table, text_col: str = "text",
 
 
 def bands_from_shingles(batch: pa.Table) -> pa.Table:
-    ids, bands, bhashes = [], [], []
+    """Band rows per doc, each carrying a 128-bit content fingerprint
+    (bkey_hi/bkey_lo over the shingle blob). Identical blobs -> identical
+    signatures -> the whole duplicate group lands in the same (band,
+    band_hash) bucket in EVERY band, so the pairing stage can collapse it
+    to one representative locally — the mass-duplicate O(n^2) guard."""
+    ids, bands, bhashes, khi, klo = [], [], [], [], []
     for doc_id, blob in zip(batch["doc_id"].to_pylist(),
                             batch["shingles"].to_pylist()):
         sig = minhash_signature(np.frombuffer(blob, dtype=np.uint64))
+        bk = hashlib.blake2b(blob, digest_size=16).digest()
+        hi = int.from_bytes(bk[:8], "big") >> 1       # signed-int64 safe
+        lo = int.from_bytes(bk[8:], "big") >> 1
         for b in range(N_BANDS):
             chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
             ids.append(doc_id)
@@ -124,9 +132,13 @@ def bands_from_shingles(batch: pa.Table) -> pa.Table:
             bhashes.append(int.from_bytes(
                 hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big")
                 >> 1)
+            khi.append(hi)
+            klo.append(lo)
     return pa.table({"doc_id": pa.array(ids, pa.int64()),
                      "band": pa.array(bands, pa.int32()),
-                     "band_hash": pa.array(bhashes, pa.int64())})
+                     "band_hash": pa.array(bhashes, pa.int64()),
+                     "bkey_hi": pa.array(khi, pa.int64()),
+                     "bkey_lo": pa.array(klo, pa.int64())})
 
 
 def jaccard(a: set, b: set) -> float:
@@ -177,26 +189,56 @@ def _band_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """Candidate pairs from one co-shuffle bucket of band rows: a C-speed
     pandas groupby over (band, band_hash) inside the task (one task per
     bucket — NOT one map_groups call per LSH bucket, which at corpus scale
-    would mean one task invocation per mostly-singleton hash)."""
-    out_a, out_b = [], []
-    for _, sub in group.groupby(["band", "band_hash"], sort=False):
+    would mean one task invocation per mostly-singleton hash).
+
+    Mass-duplicate guard: docs are first collapsed to one representative
+    (global min doc_id) per distinct content fingerprint — identical blobs
+    share every band hash, so the whole group is present in this bucket and
+    the local min IS the global min. Candidates pair *representatives*
+    (kind=0); a corpus of 10^6 byte-identical docs yields zero candidate
+    pairs instead of ~5*10^11. Duplicate-group membership is emitted once
+    (band 0 only) as (rep, member) rows with kind=1 for the caller to
+    expand or cluster.
+    """
+    out_a, out_b, out_k = [], [], []
+    for (band, _), sub in group.groupby(["band", "band_hash"], sort=False):
         if len(sub) < 2:
             continue
-        ids = np.unique(sub["doc_id"].to_numpy())
-        if len(ids) < 2:
+        ids = sub["doc_id"].to_numpy()
+        hi = sub["bkey_hi"].to_numpy()
+        lo = sub["bkey_lo"].to_numpy()
+        order = np.lexsort((ids, lo, hi))
+        ids, hi, lo = ids[order], hi[order], lo[order]
+        new_grp = np.empty(len(ids), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        starts = np.nonzero(new_grp)[0]
+        reps = ids[starts]                       # min doc_id per fingerprint
+        if band == 0:
+            sizes = np.diff(np.append(starts, len(ids)))
+            for s, m in zip(starts, sizes):
+                if m > 1:                        # duplicate group members
+                    out_a.append(np.full(m - 1, ids[s], dtype=np.int64))
+                    out_b.append(ids[s + 1:s + m].astype(np.int64))
+                    out_k.append(np.ones(m - 1, dtype=np.int8))
+        if len(reps) < 2:
             continue
-        ii, jj = np.triu_indices(len(ids), k=1)
-        out_a.append(ids[ii])
-        out_b.append(ids[jj])
+        ii, jj = np.triu_indices(len(reps), k=1)
+        out_a.append(reps[ii])
+        out_b.append(reps[jj])
+        out_k.append(np.zeros(len(ii), dtype=np.int8))
     if not out_a:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64")})
+                             "b": pd.Series([], dtype="int64"),
+                             "kind": pd.Series([], dtype="int8")})
     a = np.concatenate(out_a)
     b = np.concatenate(out_b)
+    k = np.concatenate(out_k)
     # dedup within the task; cross-band duplicates (different buckets)
     # survive to the final driver-side drop_duplicates on the tiny result
-    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
-    return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
+    trip = np.unique(np.stack([a, b, k.astype(np.int64)], axis=1), axis=0)
+    return pd.DataFrame({"a": trip[:, 0], "b": trip[:, 1],
+                         "kind": trip[:, 2].astype(np.int8)})
 
 
 def lsh_candidates(sh_ds):
@@ -218,10 +260,61 @@ def lsh_candidates(sh_ds):
                                           batch_format="pandas"))
 
 
+_EMPTY_PAIRS = {"a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64")}
+
+
+def _expand_identical_pairs(rep_pairs: pd.DataFrame, mem_df: pd.DataFrame,
+                            expand: bool) -> pd.DataFrame:
+    """Merge verified representative pairs with duplicate-group membership.
+
+    expand=True (exact legacy contract): every member inherits its rep's
+    verified pairs (identical blob -> identical exact Jaccard) and each
+    duplicate group contributes its full 1.0-clique — O(group^2), only sane
+    when duplicates are rare. expand=False (the 100 TB mode): emit one
+    (rep, member, 1.0) edge per duplicate instead of the clique/cross
+    products — O(dups) rows, same connected components for clustering.
+    """
+    if mem_df.empty:
+        out = rep_pairs
+    elif not expand:
+        edges = pd.DataFrame({"a": mem_df["a"].astype("int64"),
+                              "b": mem_df["b"].astype("int64"),
+                              "jaccard": 1.0})
+        out = pd.concat([rep_pairs, edges], ignore_index=True)
+    else:
+        groups: dict[int, list[int]] = {}
+        for r, m in zip(mem_df["a"], mem_df["b"]):
+            groups.setdefault(int(r), [int(r)]).append(int(m))
+        rows_a, rows_b, rows_j = [], [], []
+        for a, b, j in zip(rep_pairs["a"], rep_pairs["b"], rep_pairs["jaccard"]):
+            for x in groups.get(int(a), [int(a)]):
+                for y in groups.get(int(b), [int(b)]):
+                    rows_a.append(min(x, y))
+                    rows_b.append(max(x, y))
+                    rows_j.append(j)
+        for mem in groups.values():
+            ms = sorted(mem)
+            for i in range(len(ms)):
+                for jx in range(i + 1, len(ms)):
+                    rows_a.append(ms[i])
+                    rows_b.append(ms[jx])
+                    rows_j.append(1.0)
+        out = pd.DataFrame({"a": pd.Series(rows_a, dtype="int64"),
+                            "b": pd.Series(rows_b, dtype="int64"),
+                            "jaccard": pd.Series(rows_j, dtype="float64")})
+    if out.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    return (out.drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
 def minhash_near_dups(docs_ds, threshold: float = 0.7,
                       text_col: str = "text", id_col: str = "doc_id",
                       verify_mode: str = "auto",
-                      broadcast_candidate_limit: int = 500_000):
+                      broadcast_candidate_limit: int = 500_000,
+                      expand_identical: bool = True):
     """MinHash+LSH candidate generation + exact word-shingle Jaccard verify.
     Text NEVER reaches the driver in any mode — only fixed-size shingle
     sketches (packed uint64 blobs) and (id, id) pairs move.
@@ -241,6 +334,15 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
       the second gather. Nothing larger than a bucket ever co-resides.
 
     Returns pairs (a, b, jaccard) with a < b and jaccard >= threshold.
+
+    Byte-identical documents are collapsed to one representative *before*
+    candidate generation (see ``_band_bucket_pairs``), so a mass-duplicate
+    corpus costs O(uniques + dups), not O(dups^2), through the LSH and
+    verify stages. ``expand_identical=True`` (default, the legacy pair
+    contract) re-expands groups into full 1.0-cliques and member cross
+    products at the end; ``expand_identical=False`` emits one
+    (rep, member, 1.0) edge per duplicate instead — same connected
+    components, O(dups) output — the right mode beyond toy scale.
     """
     import ray
 
@@ -248,7 +350,13 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
         shingle_blob_batch, batch_format="pyarrow",
         fn_kwargs={"text_col": text_col, "id_col": id_col}).materialize()
 
-    cand = lsh_candidates(sh_ds).materialize()
+    cand_all = lsh_candidates(sh_ds).materialize()
+    # kind=1 rows are duplicate-group (rep, member) edges — identical blobs,
+    # exact Jaccard 1.0 by construction, no verification needed. kind=0
+    # rows are representative candidate pairs that go through verify.
+    mem_df = (cand_all.filter(expr="kind == 1")
+              .drop_columns(["kind"]).to_pandas())
+    cand = cand_all.filter(expr="kind == 0").drop_columns(["kind"])
     if verify_mode == "auto":
         verify_mode = ("broadcast" if cand.count() <= broadcast_candidate_limit
                        else "bucketed")
@@ -256,9 +364,8 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
     if verify_mode == "broadcast":
         cand_pdf = cand.to_pandas().drop_duplicates()
         if cand_pdf.empty:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
+            return _expand_identical_pairs(
+                pd.DataFrame(_EMPTY_PAIRS), mem_df, expand_identical)
         ids = set(np.unique(cand_pdf[["a", "b"]].to_numpy()).tolist())
         ids_ref = ray.put(ids)
 
@@ -287,10 +394,8 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
         out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
             columns=["a", "b", "jaccard"])
         if out.empty:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        return out.sort_values(["a", "b"]).reset_index(drop=True)
+            out = pd.DataFrame(_EMPTY_PAIRS)
+        return _expand_identical_pairs(out, mem_df, expand_identical)
 
     def tag_pairs_on_a(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -356,12 +461,11 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
            .groupby("bucket").map_groups(verify_b, batch_format="pyarrow")
            .to_pandas())
     if out.empty:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
+        out = pd.DataFrame(_EMPTY_PAIRS)
     # cross-band duplicate candidates were verified more than once
-    return (out.drop_duplicates(subset=["a", "b"])
-            .sort_values(["a", "b"]).reset_index(drop=True))
+    out = (out.drop_duplicates(subset=["a", "b"])
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    return _expand_identical_pairs(out, mem_df, expand_identical)
 
 
 # -------------------------------------------------------------- simhash --

@@ -392,3 +392,74 @@ def test_pack_documents_prefix_sum(ray_session):
         assert row["pack_id"] == start // 256
         start += row["n_tokens"]
     assert out["pack_id"].is_monotonic_increasing
+
+
+def test_minhash_mass_duplicates_bounded(ray_session):
+    """VERDICT r02 #3: a corpus dominated by byte-identical docs must not
+    explode candidate generation. 10^4 identical docs + planted uniques:
+    expand_identical=False completes quickly with O(dups) member edges
+    (one (rep, member, 1.0) row per duplicate), and the near-dup pair
+    among the uniques is still found."""
+    import time
+
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import minhash_near_dups
+
+    n_dup = 10_000
+    rng = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(400)]
+    uniq = [" ".join(rng.choice(words, 60)) for _ in range(20)]
+    near_a = " ".join(rng.choice(words, 60).tolist())
+    near_b = " ".join(near_a.split()[:-1] + ["zzz"])
+    texts = (["the same exact document body repeated"] * n_dup
+             + uniq + [near_a, near_b])
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    t0 = time.monotonic()
+    pairs = minhash_near_dups(ray.data.from_pandas(df), threshold=0.6,
+                              expand_identical=False)
+    wall = time.monotonic() - t0
+    assert wall < 120, f"mass-dup corpus took {wall:.0f}s"
+    # member edges: rep (doc 0) to each of the other 9,999 duplicates
+    edges = pairs[pairs["jaccard"] == 1.0]
+    assert len(edges) == n_dup - 1
+    assert (edges["a"] == 0).all()
+    assert set(edges["b"]) == set(range(1, n_dup))
+    # the planted near-dup pair among the uniques still survives
+    ids = set(zip(pairs["a"], pairs["b"]))
+    assert (n_dup + 20, n_dup + 21) in ids
+    # O(dups) output: nothing quadratic leaked through
+    assert len(pairs) < n_dup + 50
+
+
+def test_minhash_expand_identical_matches_bruteforce(ray_session):
+    """expand_identical=True must reproduce the full legacy pair contract:
+    identical groups become 1.0-cliques and members inherit their rep's
+    verified near-dup pairs."""
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import (
+        _jaccard_blobs, minhash_near_dups, shingle_hashes)
+
+    rng = np.random.RandomState(3)
+    words = [f"w{i}" for i in range(300)]
+    base = " ".join(rng.choice(words, 60).tolist())
+    near = " ".join(base.split()[:-1] + ["qqq"])
+    texts = [base] * 4 + [near] * 2 + \
+        [" ".join(rng.choice(words, 60)) for _ in range(10)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    pairs = minhash_near_dups(ray.data.from_pandas(df), threshold=0.6)
+    got = {(a, b): j for a, b, j in zip(pairs["a"], pairs["b"], pairs["jaccard"])}
+    # cliques: {0,1,2,3} and {4,5}
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert got.get((i, j)) == 1.0
+    assert got.get((4, 5)) == 1.0
+    # cross products: every base member pairs with every near member at the
+    # exact base/near jaccard
+    jx = _jaccard_blobs(shingle_hashes(base).tobytes(),
+                        shingle_hashes(near).tobytes())
+    assert jx >= 0.6
+    for i in range(4):
+        for j in (4, 5):
+            assert abs(got[(i, j)] - jx) < 1e-6   # verify rounds to 6 dp
+    # no unexpected pairs among the randoms
+    assert all(a < 6 and b < 6 for (a, b) in got)
