@@ -527,6 +527,17 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return textops.ngram_jaccard_pairs(_docs_ds(sf_dir), max_id=200, threshold=0.5)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster resolution: pairs -> connected components ->
+    keep-min-id, over the bounded ngram-pair subset so the DuckDB
+    recursive-CTE oracle can mirror it exactly. The full-table path
+    (minhash edges, mass-dup collapse) is pinned by pytest."""
+    docs = _docs_ds(sf_dir).filter(expr="doc_id < 200")
+    pairs = textops.ngram_jaccard_pairs(_docs_ds(sf_dir), max_id=200,
+                                        threshold=0.5)
+    return textops.dedup_clusters(docs, pairs)
+
+
 def q_ann_topk(sf_dir: str):
     return embedops.ann_topk(_emb_ds(sf_dir), n_queries=8, k=10)
 
@@ -805,6 +816,7 @@ def queries() -> dict:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -1213,6 +1225,24 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             FROM w a JOIN w b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5""",
+        "dedup_clusters": """
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+              FROM documents WHERE doc_id < 200),
+            e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5),
+            sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+            reach(node, label) AS (
+              SELECT doc_id, doc_id FROM w
+              UNION
+              SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node)
+            SELECT node AS doc_id, min(label) AS cluster_id,
+                   CAST(node = min(label) AS BIGINT) AS keep
+            FROM reach GROUP BY node""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 8),

@@ -549,6 +549,178 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3,
             .sort_values(["a", "b"]).reset_index(drop=True))
 
 
+# ------------------------------------------- near-dup cluster resolution --
+def _union_find_labels(a: np.ndarray, b: np.ndarray) -> dict[int, int]:
+    """Min-id component labels for the nodes touched by the edge list."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:                 # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(a, b):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:                             # min id becomes the root
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {x: find(x) for x in parent}
+
+
+def dedup_clusters(docs_ds, edges, id_col: str = "doc_id",
+                   max_rounds: int = 64, mode: str = "auto",
+                   broadcast_edge_limit: int = 5_000_000):
+    """Connected components over near-dup pair edges + keep-min-id policy:
+    the capstone after the pair generators (exact/minhash/simhash/embedding)
+    — pairs -> clusters -> one kept representative per cluster.
+
+    Distributed iterated min-label propagation: every doc starts labeled
+    with its own id; each round, labels flow across edges (bucketed
+    co-shuffle attach, same exchange shape as the minhash verify gathers)
+    and each node takes the min of its own and incoming labels via
+    ``groupby(node).aggregate(Min)`` — a hash aggregate, safe on
+    high-cardinality keys. Labels are non-increasing integers, so the
+    global label sum is a monotone convergence witness: a round that
+    leaves the sum unchanged is the fixpoint. Rounds needed = max cluster
+    diameter (tiny for realistic near-dup clusters; ``max_rounds`` guards
+    adversarial chains).
+
+    Returns a streaming Dataset (doc_id, cluster_id, keep) where
+    cluster_id is the minimum doc id in the component and keep=1 marks
+    the kept representative (one per cluster).
+
+    mode='broadcast' (auto when the edge list is under
+    ``broadcast_edge_limit``): union-find over the edges on the driver —
+    the edge list is orders of magnitude smaller than the doc table after
+    near-dup pair generation — then one broadcast map over the docs.
+    mode='propagate': the fully distributed path described above.
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    edges_df = None
+    if isinstance(edges, pd.DataFrame):
+        edges_df = edges[["a", "b"]].astype("int64") if len(edges) else None
+        edges_ds = (ray.data.from_pandas(edges_df)
+                    if edges_df is not None else None)
+    else:
+        edges_ds = edges.select_columns(["a", "b"])
+        n_edges = edges_ds.count()
+        if n_edges == 0:
+            edges_ds = None
+        elif mode == "auto" and n_edges <= broadcast_edge_limit:
+            edges_df = edges_ds.to_pandas()
+
+    if mode == "auto":
+        mode = "broadcast" if (edges_ds is None or edges_df is not None) \
+            else "propagate"
+
+    if mode == "broadcast" and edges_ds is not None:
+        if edges_df is None:
+            edges_df = edges_ds.to_pandas()
+        labels_map = _union_find_labels(edges_df["a"].to_numpy(),
+                                        edges_df["b"].to_numpy())
+        map_ref = ray.put(labels_map)
+
+        class Assign:
+            def __init__(self, ref):
+                self.labels = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch[id_col].cast(pa.int64())
+                lab = pa.array([self.labels.get(i, i)
+                                for i in ids.to_pylist()], pa.int64())
+                keep = pa.compute.cast(pa.compute.equal(ids, lab), pa.int64())
+                return pa.table({"doc_id": ids, "cluster_id": lab,
+                                 "keep": keep})
+
+        return docs_ds.select_columns([id_col]).map_batches(
+            Assign, fn_constructor_args=(map_ref,), batch_format="pyarrow",
+            concurrency=(1, 4))
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64())
+        return pa.table({"node": ids, "label": ids})
+
+    labels = (docs_ds.select_columns([id_col])
+              .map_batches(init_labels, batch_format="pyarrow").materialize())
+
+    def finish(lbl):
+        def project(batch: pa.Table) -> pa.Table:
+            node = batch["node"]
+            lab = batch["label"]
+            keep = pa.compute.cast(pa.compute.equal(node, lab), pa.int64())
+            return pa.table({"doc_id": node, "cluster_id": lab, "keep": keep})
+        return lbl.map_batches(project, batch_format="pyarrow")
+
+    if edges_ds is None:
+        return finish(labels)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch["b"].to_pylist(), dtype=np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({"bucket": pa.array(_bucket_of(u)),
+                         "node": pa.array(u), "other": pa.array(v),
+                         "label": pa.nulls(len(u), pa.int64()),
+                         "kind": pa.array(np.zeros(len(u), dtype=np.int8))})
+
+    sym = edges_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        nodes = np.asarray(batch["node"].to_pylist(), dtype=np.int64)
+        return pa.table({"bucket": pa.array(_bucket_of(nodes)),
+                         "node": batch["node"],
+                         "other": pa.nulls(n, pa.int64()),
+                         "label": batch["label"],
+                         "kind": pa.array(np.ones(n, dtype=np.int8))})
+
+    def propagate(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        lab_i = np.nonzero(kind == 1)[0]
+        edge_i = np.nonzero(kind == 0)[0]
+        if len(edge_i) == 0 or len(lab_i) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        nodes = group["node"].to_numpy(zero_copy_only=False)
+        labels_np = group["label"].to_numpy(zero_copy_only=False)
+        others = group["other"].to_numpy(zero_copy_only=False)
+        lookup = {int(nodes[i]): int(labels_np[i]) for i in lab_i}
+        msg_to = others[edge_i].astype(np.int64)
+        msg_lab = np.fromiter((lookup[int(nodes[i])] for i in edge_i),
+                              dtype=np.int64, count=len(edge_i))
+        return pa.table({"node": pa.array(msg_to),
+                         "label": pa.array(msg_lab)})
+
+    # union() concatenates block lists and groupby preserves input block
+    # count, so without a repartition the label table's block count doubles
+    # every round (9 -> 19 -> 39 -> ...) and task overhead grows
+    # exponentially. Pin it to the initial width each round.
+    label_blocks = max(labels.num_blocks(), 8)
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        msgs = (labels.map_batches(tag_labels, batch_format="pyarrow")
+                .union(sym)
+                .groupby("bucket").map_groups(propagate,
+                                              batch_format="pyarrow"))
+        new_labels = (labels.union(msgs).groupby("node")
+                      .aggregate(Min("label", alias_name="label"))
+                      .repartition(label_blocks)
+                      .materialize())
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return finish(labels)
+
+
 # ------------------------------------------------- exact jaccard (pairs) --
 def ngram_jaccard_pairs(docs_ds, max_id: int, threshold: float,
                         text_col: str = "text", id_col: str = "doc_id"):

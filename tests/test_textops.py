@@ -463,3 +463,50 @@ def test_minhash_expand_identical_matches_bruteforce(ray_session):
             assert abs(got[(i, j)] - jx) < 1e-6   # verify rounds to 6 dp
     # no unexpected pairs among the randoms
     assert all(a < 6 and b < 6 for (a, b) in got)
+
+
+def test_dedup_clusters_propagate_matches_unionfind(ray_session):
+    """The distributed min-label propagation must equal driver union-find
+    on chain, star, and merged components — including a chain long enough
+    to need several propagation rounds."""
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import (_union_find_labels,
+                                                   dedup_clusters)
+
+    n = 40
+    # chain 0-..-7 (needs 7 propagation rounds), star 20<-{21..29},
+    # two merged pairs {30,31,32}, singletons elsewhere
+    a = list(range(7)) + [20] * 9 + [30, 31]
+    b = list(range(1, 8)) + list(range(21, 30)) + [31, 32]
+    edges = pd.DataFrame({"a": a, "b": b})
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(n), "text": ["t"] * n})).repartition(4)
+
+    expect = _union_find_labels(edges["a"].to_numpy(), edges["b"].to_numpy())
+    for mode in ("broadcast", "propagate"):
+        out = dedup_clusters(docs, edges, mode=mode).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert len(out) == n
+        for doc, lab, keep in zip(out["doc_id"], out["cluster_id"], out["keep"]):
+            assert lab == expect.get(doc, doc), (mode, doc)
+            assert keep == int(doc == lab)
+        # exactly one kept representative per cluster
+        kept = out[out["keep"] == 1]
+        assert set(kept["doc_id"]) == set(out["cluster_id"].unique())
+
+
+def test_dedup_clusters_over_minhash_edges(planted_docs):
+    """End-to-end capstone: minhash pairs (expand_identical=False) ->
+    clusters. Docs 0/64 are byte-identical and 60/61, 62/63 are planted
+    near-dups: each must collapse to one kept representative."""
+    from seo_crawler_ray.pipelines.textops import dedup_clusters, minhash_near_dups
+
+    pairs = minhash_near_dups(planted_docs, threshold=0.6,
+                              expand_identical=False)
+    out = dedup_clusters(planted_docs, pairs).to_pandas()
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert lab[64] == lab[0] == 0
+    assert lab[61] == lab[60] == 60
+    assert lab[63] == lab[62] == 62
+    kept = out[out["keep"] == 1]["doc_id"]
+    assert 0 in set(kept) and 64 not in set(kept)
