@@ -104,24 +104,61 @@ def embedding_dup_pairs(emb_ds, max_id: int = 500, tau: float = 0.35) -> pd.Data
     return pairs.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.35, n_planes: int = 6,
-                            n_bands: int = 4, seed: int = 17) -> pd.DataFrame:
+def lsh_params_for(n: int, tau: float, target_recall: float = 0.99,
+                   max_bands: int = 256) -> tuple[int, int]:
+    """Auto-derived banded-hyperplane LSH parameters.
+
+    Plane count grows with table size — ``planes >= log2(n) - 6`` keeps the
+    expected per-band verify bucket at <= 64 vectors, so the in-bucket
+    O(bucket^2) cosine matmul stays bounded as the corpus grows (a fixed
+    plane count silently degenerates to O((n/2^planes)^2) per bucket).
+    Band count then comes from the random-hyperplane collision model
+    ``p = 1 - acos(tau)/pi``: bands = ceil(log(1-recall) / log(1-p^planes))
+    so the configured recall target survives the larger code space.
+    """
+    n_planes = max(3, int(np.ceil(np.log2(max(n, 2)))) - 6)
+    p = 1.0 - np.arccos(np.clip(tau, -1.0, 1.0)) / np.pi
+    p_band = min(max(p ** n_planes, 1e-12), 1 - 1e-12)
+    n_bands = int(np.ceil(np.log(max(1.0 - target_recall, 1e-12))
+                          / np.log(1.0 - p_band)))
+    return n_planes, max(1, min(n_bands, max_bands))
+
+
+def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.35,
+                            n_planes: int | None = None,
+                            n_bands: int | None = None,
+                            seed: int = 17,
+                            target_recall: float = 0.99) -> pd.DataFrame:
     """Embedding near-dup pairs at scale: banded random-hyperplane LSH.
 
     Each vector hashes to ``n_bands`` sign-pattern codes (independent plane
     sets); vectors sharing ANY band code become candidates; exact cosine is
-    verified inside the band's groupby task (vectors co-located by the
-    groupby — only (band, code, id, embedding) rows shuffle, one row per
-    band per vector). Recall grows with n_bands like MinHash banding; no
-    driver-side candidate or embedding materialization anywhere.
+    verified per (band, code) group inside a bounded co-shuffle bucket task
+    (only (band, code, id, embedding) rows shuffle, one row per band per
+    vector; the task count stays at _GATHER_BUCKETS regardless of the code
+    space — never one map_groups call per mostly-singleton code). Recall
+    grows with n_bands like MinHash banding; no driver-side candidate or
+    embedding materialization anywhere.
+
+    ``n_planes``/``n_bands`` default to ``lsh_params_for(count, tau)``:
+    planes scale with log2(n) to bound verify buckets, bands scale to hold
+    ``target_recall`` at the larger code space.
     Returns (a, b) with a < b and cosine >= tau, deduped across bands."""
+    if n_planes is None or n_bands is None:
+        auto_planes, auto_bands = lsh_params_for(
+            emb_ds.count(), tau, target_recall)
+        n_planes = auto_planes if n_planes is None else n_planes
+        n_bands = auto_bands if n_bands is None else n_bands
     rng = np.random.RandomState(seed)
     dim = len(emb_ds.take(1)[0]["embedding"])
     planes = [rng.normal(size=(n_planes, dim)) for _ in range(n_bands)]
 
+    n_buckets = 128
+
     def code_rows(batch: pa.Table) -> pa.Table:
         E = _emb_matrix(batch)
         vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        embs = batch["embedding"].to_pylist()
         out_band, out_code, out_id, out_emb = [], [], [], []
         for b, P in enumerate(planes):
             codes = ((E @ P.T) > 0).astype(np.int64)
@@ -129,28 +166,42 @@ def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.35, n_planes: int = 6,
             out_band.extend([b] * len(vec_ids))
             out_code.extend(code.tolist())
             out_id.extend(vec_ids.tolist())
-            out_emb.extend(batch["embedding"].to_pylist())
-        return pa.table({"band": pa.array(out_band, pa.int32()),
-                         "code": pa.array(out_code, pa.int64()),
+            out_emb.extend(embs)
+        band_arr = np.asarray(out_band, dtype=np.int64)
+        code_arr = np.asarray(out_code, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            mix = (code_arr.astype(np.uint64)
+                   + np.uint64(0x51ED2701) * band_arr.astype(np.uint64)) \
+                * np.uint64(0x9E3779B97F4A7C15)
+        bucket = ((mix >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"bucket": pa.array(bucket),
+                         "band": pa.array(band_arr, pa.int64()),
+                         "code": pa.array(code_arr, pa.int64()),
                          "vec_id": pa.array(out_id, pa.int64()),
                          "embedding": pa.array(out_emb)})
 
     def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
+        out_a, out_b = [], []
+        for _, sub in group.groupby(["band", "code"], sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sub["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            M = _norm_rows(np.array(sub["embedding"].tolist(),
+                                    dtype=np.float64)[order])
+            sims = M @ M.T
+            ii, jj = np.nonzero(np.triu(sims >= tau, k=1))
+            out_a.append(ids[ii].astype(np.int64))
+            out_b.append(ids[jj].astype(np.int64))
+        if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})
-        ids = group["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        M = _norm_rows(np.array(group["embedding"].tolist(),
-                                dtype=np.float64)[order])
-        sims = M @ M.T
-        ii, jj = np.nonzero(np.triu(sims >= tau, k=1))
-        return pd.DataFrame({"a": ids[ii].astype(np.int64),
-                             "b": ids[jj].astype(np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)}).drop_duplicates()
 
     pairs = (emb_ds.map_batches(code_rows, batch_format="pyarrow")
-             .groupby(["band", "code"])
+             .groupby("bucket")
              .map_groups(verify_bucket, batch_format="pandas")
              .to_pandas())
     if pairs.empty:

@@ -108,13 +108,17 @@ class BroadcastFetcher:
     def __init__(self, corpus: pa.Table):
         self._index = {u: i for i, u in enumerate(corpus["url"].to_pylist())}
         self._html = corpus["html"]
-        self._status = corpus["status_code"].to_pylist()
-        self._ct = corpus["content_type_header"].to_pylist()
+        # keep metadata as Arrow/numpy arrays indexed positionally — a
+        # to_pylist() here would pin two O(corpus) Python-object lists in
+        # every worker's heap (~50 MB at the broadcast-mode size gate)
+        self._status = corpus["status_code"].to_numpy(zero_copy_only=False)
+        self._ct = corpus["content_type_header"].combine_chunks()
 
     def lookup(self, urls: list[str]) -> list[tuple | None]:
         out: list[tuple | None] = []
         for u in urls:
             i = self._index.get(u)
             out.append(None if i is None else
-                       (self._html[i].as_py(), self._status[i], self._ct[i]))
+                       (self._html[i].as_py(), int(self._status[i]),
+                        self._ct[i].as_py()))
         return out

@@ -155,3 +155,24 @@ def test_winnow_matches_bruteforce(text):
         for i in range(w - 1, n):
             want.add(min(grams[i - w + 1:i + 1]))
     assert got == want
+
+
+def test_no_bankers_rounding_in_pipelines():
+    """Lint gate (VERDICT r02 #9): oracle-compared paths must not use
+    banker's rounding — np.round / pyarrow.compute.round round half-to-even
+    while DuckDB ROUND is half-up, which silently diverges on exact .5
+    values. New code must go through arrowutil.round_half_up."""
+    import pathlib
+    import re
+    root = pathlib.Path(__file__).resolve().parents[1] / "seo_crawler_ray"
+    pat = re.compile(r"\b(?:np|numpy)\.round\(|\bpc\.round\(|"
+                     r"\bcompute\.round\(")
+    offenders = []
+    for p in root.rglob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if pat.search(line) and "round_half_up" not in line \
+                    and not line.lstrip().startswith("#"):
+                offenders.append(f"{p.relative_to(root)}:{i}: {line.strip()}")
+    assert not offenders, \
+        "banker's rounding in oracle paths (use arrowutil.round_half_up):\n" \
+        + "\n".join(offenders)

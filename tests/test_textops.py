@@ -510,3 +510,33 @@ def test_dedup_clusters_over_minhash_edges(planted_docs):
     assert lab[63] == lab[62] == 62
     kept = out[out["keep"] == 1]["doc_id"]
     assert 0 in set(kept) and 64 not in set(kept)
+
+
+def test_embedding_lsh_auto_params_recall_and_bucket_bound(ray_session):
+    """VERDICT r02 #4: auto-derived planes must grow with log2(n) so the
+    per-(band, code) verify bucket stays bounded, while the auto band count
+    holds recall against the exact operator."""
+    import ray.data
+    from seo_crawler_ray.pipelines.embedops import (
+        embedding_dup_pairs, embedding_dup_pairs_lsh, lsh_params_for)
+
+    # plane growth: each 64x in n adds 6 planes; bands re-derived for recall
+    p1, _ = lsh_params_for(1_000, 0.35)
+    p2, _ = lsh_params_for(1_000_000, 0.35)
+    p3, b3 = lsh_params_for(1_000_000_000, 0.35)
+    assert p2 >= p1 + 9 and p3 >= p2 + 9
+    assert p3 >= int(np.ceil(np.log2(1e9))) - 6 and b3 <= 256
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = ds.count()
+    exact = embedding_dup_pairs(ds, max_id=10**9, tau=0.35)
+    approx = embedding_dup_pairs_lsh(ds, tau=0.35)   # auto planes/bands
+    e = set(zip(exact["a"], exact["b"]))
+    a = set(zip(approx["a"], approx["b"]))
+    assert a <= e                        # in-bucket verify is exact: no FPs
+    assert len(a & e) / len(e) >= 0.95
+
+    # bucket bound: expected per-band bucket size n / 2^planes <= 64; on
+    # hashed codes allow generous skew slack but nothing near O(n)
+    planes, bands = lsh_params_for(n, 0.35)
+    assert n / (2 ** planes) <= 64
