@@ -43,6 +43,8 @@ def cmd_crawl(args) -> int:
         overrides["max_depth"] = args.max_depth
     if args.max_urls is not None:
         overrides["max_urls"] = args.max_urls
+    if args.javascript:
+        overrides["enable_javascript"] = True
     cfg = flagship_config(**overrides)
     job = CrawlJob(args.corpus, args.out, cfg, mode=args.mode)
     summary = job.run(resume=args.resume)
@@ -107,6 +109,9 @@ def main(argv=None) -> int:
     c.add_argument("--mode", choices=["parity", "priority"], default="parity")
     c.add_argument("--max-depth", type=int, default=None)
     c.add_argument("--max-urls", type=int, default=None)
+    c.add_argument("--javascript", action="store_true",
+                   help="render every URL before extraction (JS mode; "
+                        "simulated renderer — real browser is env-gated)")
     c.set_defaults(fn=cmd_crawl)
 
     e = sub.add_parser("export", help="export crawl outputs")

@@ -42,6 +42,14 @@ class CrawlConfig:
     include_patterns: list[str] = field(default_factory=list)
     exclude_patterns: list[str] = field(default_factory=list)
     max_file_size: int = 50 * 1024 * 1024
+    # JS mode (crawler.py:282-284, 775-777): when on, EVERY crawled URL is
+    # rendered (the reference has no per-URL selection in the loop — its
+    # should_use_javascript helper is dead code), content_type is reported
+    # as text/html, size is the rendered byte length, and page rows carry
+    # javascript_rendered=True. The real browser is environment-gated; the
+    # simulation renders deterministically (stages/jsrender.py).
+    enable_javascript: bool = False
+    js_max_concurrent_pages: int = 3
     discover_sitemaps: bool = True
     enable_duplication_check: bool = True
     duplication_threshold: float = 0.85

@@ -99,6 +99,10 @@ def empty_result(url: str, depth: int, status_code: int = 0, error: str | None =
         "hreflang": [],
         "schema_org": [],
         "linked_from": [],
+        # absent key in the reference's result dicts == False (crawler.py:978
+        # sets it only on the JS-rendered path; issue_detector.py:255 reads
+        # it with .get(..., False))
+        "javascript_rendered": False,
         "error": error,
     }
 

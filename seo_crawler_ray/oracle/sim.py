@@ -105,14 +105,25 @@ class SimCrawl:
             del r["error"]
             return r
         html, status, ct_header = hit
-        if cfg.max_file_size > 0 and len(html) > cfg.max_file_size:
-            # S2 size pre-check (crawler.py:788-803)
+        if not cfg.enable_javascript and cfg.max_file_size > 0 \
+                and len(html) > cfg.max_file_size:
+            # S2 size pre-check (crawler.py:788-803); the JS path has no
+            # size gate (crawler.py:920-983)
             r = empty_result(url, depth, 0, f"File too large: {len(html)} bytes")
             del r["error"]
             return r
+        if cfg.enable_javascript:
+            # JS mode (crawler.py:926-979): every URL rendered, content_type
+            # hardcoded text/html, size = rendered byte length
+            from ..stages.jsrender import render_html
+            html = render_html(
+                url, html.decode("utf-8", errors="replace")).encode()
+            ct_header = "text/html"
         internal = is_internal(url, base_domain)
         result, link_records, outlinks = extract_page(
             html, url, depth, base_domain, status, ct_header, internal)
+        if cfg.enable_javascript:
+            result["javascript_rendered"] = True
 
         for rec in link_records:
             # source_pages tracked for every link record (link_manager.py:108-113)

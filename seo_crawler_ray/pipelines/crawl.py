@@ -59,6 +59,20 @@ from ..stages.extract_stage import extract_and_sink_batch
 
 
 @ray.remote
+def _blocks_with_counts(ds) -> tuple[list, list[int]]:
+    """Block refs + per-block row counts of a MATERIALIZED dataset, taken
+    from driver-local block metadata — replaces a whole ray.get round of
+    per-block count tasks (the metadata is already on the driver)."""
+    refs, counts = [], []
+    for bundle in ds.iter_internal_ref_bundles():
+        for blk_ref, meta in bundle.blocks:
+            refs.append(blk_ref)
+            counts.append(meta.num_rows)
+    if any(c is None for c in counts):    # metadata gap: count remotely
+        counts = ray.get([_count_rows.remote(r) for r in refs])
+    return refs, counts
+
+
 def _count_rows(tbl: pa.Table) -> int:
     return tbl.num_rows
 
@@ -259,11 +273,16 @@ class CrawlJob:
                 wave, frontier_path, fetch_desc, robots_ref, robots,
                 base_domain, max_depth, seen, politeness, crawled_total)
             crawled_total += n_frontier
+            # previous wave's checkpoint RPCs ran concurrently with this
+            # wave's extract — settle them (and write that wave's marker)
+            # before starting this wave's checkpoint
+            self._finalize_checkpoint()
             self._checkpoint(wave, seen, politeness, crawled_total)
             if n_next == 0 or crawled_total >= cfg.max_urls:
                 break
             wave += 1
 
+        self._finalize_checkpoint()
         self._finish(t_start, crawled_total, n_corpus)
         return self.summary()
 
@@ -340,13 +359,18 @@ class CrawlJob:
                              n // self.config.extract_batch_size + 1))
         step = (n + k_parts - 1) // k_parts if n else 1
         refs = []
+        counts = []
         for i in range(k_parts):
             part = tbl.slice(i * step, step)
             if part.num_rows:
                 pq.write_table(part, os.path.join(next_dir,
                                                   f"part-{i:05d}.parquet"))
                 refs.append(ray.put(part))
+                counts.append(part.num_rows)
         self._next_frontier_refs = refs
+        # row counts are known at stage time — the next wave must not spend
+        # a ray.get round re-counting blocks it just wrote
+        self._next_frontier_counts = counts
 
     # -- one wave ---------------------------------------------------------
     def _run_wave(self, wave: int, frontier_path: str, fetch_desc, robots_ref,
@@ -363,7 +387,9 @@ class CrawlJob:
 
         hint = self._frontier_hint or 0
         staged = self._next_frontier_refs
+        staged_counts = getattr(self, "_next_frontier_counts", None)
         self._next_frontier_refs = None
+        self._next_frontier_counts = None
         t = t0
 
         extract_kwargs = dict(
@@ -380,8 +406,11 @@ class CrawlJob:
             # cost (~0.3-1 s/wave) would dominate — submit the SAME batch
             # function as plain tasks over the staged blocks (the compact-
             # frontier/broadcast-threshold idea applied to the extract).
-            counts = ray.get([_count_rows.remote(r) for r in staged])
-            n_frontier = sum(counts)
+            if staged_counts is not None and len(staged_counts) == len(staged):
+                n_frontier = sum(staged_counts)   # known at stage time
+            else:
+                n_frontier = sum(ray.get([_count_rows.remote(r)
+                                          for r in staged]))
             task_kwargs = {k: v for k, v in extract_kwargs.items()
                            if k != "robots_ref"}
             cand_refs = [_extract_task.remote(
@@ -489,8 +518,7 @@ class CrawlJob:
         else:
             mat = fresh.limit(0).materialize()
 
-        refs = mat.to_arrow_refs()
-        counts = ray.get([_count_rows.remote(r) for r in refs])
+        refs, counts = _blocks_with_counts(mat)
         offsets = (np.concatenate(([0], np.cumsum(counts)[:-1]))
                    + rank_offset) if counts else []
         if getattr(self, "_corpus_mode", "") == "bucketed" and sum(counts):
@@ -506,8 +534,7 @@ class CrawlJob:
                                       fn_kwargs={"n_buckets": self.config.corpus_buckets})
                          .sort("_cbucket").drop_columns(["_cbucket"])
                          .materialize())
-            refs = realigned.to_arrow_refs()
-            counts = ray.get([_count_rows.remote(r) for r in refs])
+            refs, counts = _blocks_with_counts(realigned)
             offsets = [None] * len(refs)          # ranks already assigned
         next_dir = self._p("frontier", f"wave={wave + 1}")
         import shutil
@@ -521,6 +548,7 @@ class CrawlJob:
         # ranked blocks stay in the object store for the next wave's read
         self._next_frontier_refs = [p[1] for p, (n, _) in zip(pairs, results)
                                     if n > 0]
+        self._next_frontier_counts = [n for n, _ in results if n > 0]
         n_next = sum(n for n, _ in results)
         host_counts: dict[str, int] = {}
         for _, part in results:
@@ -670,6 +698,18 @@ class CrawlJob:
 
     # -- checkpoint / resume ---------------------------------------------
     def _checkpoint(self, wave: int, seen, politeness, crawled_total: int) -> None:
+        """Submit the wave's seen/politeness snapshot RPCs and write the
+        driver-local metadata (metrics, lineage). The _WAVE_OK marker is
+        deferred to ``_finalize_checkpoint`` — it must assert snapshot
+        durability, but nothing needs it before the NEXT wave's checkpoint,
+        so the snapshot I/O overlaps the next wave's extract instead of
+        serializing ~1 s of RPC latency into every wave.
+
+        Snapshot content is determined when the actor executes the call:
+        all of THIS wave's register RPCs were settled by the frontier
+        build (ray.get), and the next wave's registers are only submitted
+        by extract tasks that start after this method returns — so the
+        snapshot cannot absorb future-wave state."""
         if self.config.seen_checkpoint == "delta":
             refs = [s.checkpoint_delta.remote(
                         self._p("seen", f"wave={wave}", f"shard={i}.npz"))
@@ -680,7 +720,7 @@ class CrawlJob:
                     for i, s in enumerate(seen)]
         refs += [p.checkpoint.remote(self._p("politeness", f"wave={wave}", f"shard={i}.parquet"))
                  for i, p in enumerate(politeness)]
-        ray.get(refs)
+        self._pending_ckpt = (wave, refs)
         meta = dict(self.metrics[-1]) if self.metrics else {}
         meta["crawled_total"] = crawled_total
         with open(self._p(f"metrics_wave_{wave}.json"), "w") as f:
@@ -706,6 +746,17 @@ class CrawlJob:
         }
         with open(self._p(f"lineage_wave_{wave}.json"), "w") as f:
             json.dump(lineage, f, indent=1)
+
+    def _finalize_checkpoint(self) -> None:
+        """Settle the in-flight snapshot RPCs and write the wave's _WAVE_OK
+        marker (resume only trusts marked waves, so a crash mid-flight just
+        replays one extra wave)."""
+        pending = getattr(self, "_pending_ckpt", None)
+        if pending is None:
+            return
+        wave, refs = pending
+        self._pending_ckpt = None
+        ray.get(refs)
         with open(self._marker(wave), "w") as f:
             f.write("ok")
 

@@ -74,7 +74,7 @@ _PAGE_PROJ_COLS = [
     "author", "keywords", "generator", "theme_color", "canonical_url",
     "og_title", "og_author", "twitter_card", "json_ld_count",
     "schema_org_count", "n_images", "images_without_alt", "internal_links",
-    "external_links", "ga4_id", "gtm_id",
+    "external_links", "ga4_id", "gtm_id", "javascript_rendered",
 ]
 
 
@@ -113,6 +113,7 @@ def _project_pages(batch: pa.Table) -> pa.Table:
     analytics = batch["analytics"].combine_chunks()
     cols["ga4_id"] = analytics.field("ga4_id")
     cols["gtm_id"] = analytics.field("gtm_id")
+    cols["javascript_rendered"] = batch["javascript_rendered"]
     return pa.table({c: cols[c] for c in _PAGE_PROJ_COLS})
 
 
@@ -1003,7 +1004,8 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                    author, keywords, generator, theme_color, canonical_url,
                    og_title, og_author, twitter_card, json_ld_count,
                    schema_org_count, n_images, images_without_alt,
-                   internal_links, external_links, ga4_id, gtm_id
+                   internal_links, external_links, ga4_id, gtm_id,
+                   javascript_rendered
             FROM read_parquet('{exp_pages}')""",
         "crawl_order": f"SELECT seq, url, depth FROM read_parquet('{_cp('expected_order.parquet')}')",
         "url_seen": f"SELECT url FROM read_parquet('{_cp('expected_seen.parquet')}')",

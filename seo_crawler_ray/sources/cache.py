@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 from ..config import CrawlConfig
 from .corpus import generate_corpus
 
-GEN_VERSION = "r1-11"
+GEN_VERSION = "r3-1"   # r3: javascript_rendered column in pages schema
 CACHE_ROOT = "/tmp/seo_ray_cache"
 EXPECTED_MAX_PAGES = 12_000  # oracle sim runs at test/correctness
                              # scales (sf<=0.02); bench scale skips it
@@ -174,6 +174,7 @@ def _write_expected(cdir: str) -> None:
             "facebook_pixel": a["facebook_pixel"], "hotjar": a["hotjar"],
             "mixpanel": a["mixpanel"],
             "response_time": float(r["response_time"]),
+            "javascript_rendered": bool(r.get("javascript_rendered", False)),
             "linked_from_joined": "|".join(r["linked_from"]),
             "issue_excluded": path_excluded(r["url"], cfg.issue_exclusion_patterns),
         })

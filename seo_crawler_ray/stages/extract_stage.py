@@ -81,6 +81,7 @@ PAGES_SCHEMA = pa.schema([
     ("redirects", pa.list_(pa.string())),
     ("hreflang", pa.list_(pa.struct([("lang", pa.string()), ("url", pa.large_string())]))),
     ("schema_org", pa.large_string()),       # list<struct{type, properties map}>, encoded
+    ("javascript_rendered", pa.bool_()),     # crawler.py:978 (JS mode only)
     ("error", pa.large_string()),
     ("_links", pa.list_(pa.struct([
         ("source_url", pa.large_string()), ("target_url", pa.large_string()),
@@ -129,6 +130,7 @@ class FetchExtract:
             robots_index=robots, user_agent=cfg_dict["user_agent"])
         self.crawl_external = cfg_dict["crawl_external"]
         self.max_file_size = cfg_dict.get("max_file_size", 0)
+        self.enable_js = cfg_dict.get("enable_javascript", False)
 
     def extract_batch(self, batch: pa.Table, max_depth: int, wave: int) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -149,17 +151,30 @@ class FetchExtract:
             # (crawler.py:916-918)
             result = empty_result(url, depth, 0, "fetch failed: not in corpus")
             link_records, outlinks = [], []
-        elif self.max_file_size > 0 and len(hit[0]) > self.max_file_size:
+        elif not self.enable_js and self.max_file_size > 0 \
+                and len(hit[0]) > self.max_file_size:
             # S2 size pre-check (crawler.py:788-803): the reference HEADs
-            # Content-Length and skips oversized bodies with an empty result
+            # Content-Length and skips oversized bodies with an empty result.
+            # The JS path has no size gate (crawler.py:920-983).
             result = empty_result(url, depth, 0,
                                   f"File too large: {len(hit[0])} bytes")
             link_records, outlinks = [], []
         else:
             html, status, ct = hit
+            if self.enable_js:
+                # JS mode renders every URL; content_type is hardcoded
+                # text/html and size is the rendered byte length
+                # (crawler.py:926-979); goto's response status = corpus
+                # status in the simulation
+                from .jsrender import render_html
+                html = render_html(
+                    url, html.decode("utf-8", errors="replace")).encode()
+                ct = "text/html"
             internal = is_internal(url, self.base_domain)
             result, link_records, outlinks = extract_page(
                 html, url, depth, self.base_domain, status, ct, internal)
+            if self.enable_js:
+                result["javascript_rendered"] = True
             result["error"] = None
 
         row = dict(result)

@@ -32,15 +32,27 @@ RENDER_MARKER = "<!--rendered-->"
 
 
 def should_use_javascript(url: str) -> bool:
-    """js_renderer.py:144-153 — extension screen on the URL path."""
+    """js_renderer.py:144-153 — extension screen on the URL path (defined
+    but never invoked by the reference crawl loop; kept for the standalone
+    render query's pass-through behavior)."""
     path = urlparse(url).path.lower()
     return not path.endswith(_SKIP_EXTENSIONS)
 
 
+def render_html(url: str, html: str) -> str:
+    """The deterministic simulated render: inject a script-materialized DOM
+    node + marker, mimicking JS mutating the DOM after domcontentloaded.
+    Shared by the standalone render stage, the crawl loop's JS mode and the
+    sequential oracle — all three must produce identical bytes."""
+    extra = f'<div id="js-root" data-url="{url}"></div>{RENDER_MARKER}'
+    if "</body>" in html:
+        return html.replace("</body>", extra + "</body>", 1)
+    return html + extra
+
+
 class _FakePage:
-    """Deterministic stand-in for a Playwright page: 'renders' by appending
-    the marker plus a script-generated element, mimicking JS mutating the
-    DOM after domcontentloaded."""
+    """Deterministic stand-in for a Playwright page (render_html + render
+    counter for pool-reuse assertions)."""
 
     def __init__(self, page_id: int):
         self.page_id = page_id
@@ -48,12 +60,7 @@ class _FakePage:
 
     def render(self, url: str, html: str) -> tuple[str, int, None]:
         self.renders += 1
-        extra = f'<div id="js-root" data-url="{url}"></div>{RENDER_MARKER}'
-        if "</body>" in html:
-            html = html.replace("</body>", extra + "</body>", 1)
-        else:
-            html = html + extra
-        return html, 200, None
+        return render_html(url, html), 200, None
 
 
 class JsRenderStage:
