@@ -58,7 +58,6 @@ from ..stages.dedup_stage import SeenFilter, register_urls
 from ..stages.extract_stage import extract_and_sink_batch
 
 
-@ray.remote
 def _blocks_with_counts(ds) -> tuple[list, list[int]]:
     """Block refs + per-block row counts of a MATERIALIZED dataset, taken
     from driver-local block metadata — replaces a whole ray.get round of
@@ -73,8 +72,22 @@ def _blocks_with_counts(ds) -> tuple[list, list[int]]:
     return refs, counts
 
 
+@ray.remote(num_cpus=0)
 def _count_rows(tbl: pa.Table) -> int:
     return tbl.num_rows
+
+
+@ray.remote(num_cpus=0)
+def _write_marker(path: str, *snapshot_results) -> bool:
+    """Write the _WAVE_OK marker once every snapshot ref has resolved
+    (Ray resolves the positional refs before scheduling this task), so the
+    marker is durable the moment the snapshot is — without the driver
+    blocking. Atomic rename so readers never see a partial marker."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("ok")
+    os.replace(tmp, path)
+    return True
 
 
 @ray.remote(num_cpus=1)
@@ -265,22 +278,34 @@ class CrawlJob:
                 return self.summary()
 
         wave = start_wave
-        while True:
-            frontier_path = self._p("frontier", f"wave={wave}")
-            if not os.path.isdir(frontier_path) or not os.listdir(frontier_path):
-                break
-            n_next, n_frontier = self._run_wave(
-                wave, frontier_path, fetch_desc, robots_ref, robots,
-                base_domain, max_depth, seen, politeness, crawled_total)
-            crawled_total += n_frontier
-            # previous wave's checkpoint RPCs ran concurrently with this
-            # wave's extract — settle them (and write that wave's marker)
-            # before starting this wave's checkpoint
-            self._finalize_checkpoint()
-            self._checkpoint(wave, seen, politeness, crawled_total)
-            if n_next == 0 or crawled_total >= cfg.max_urls:
-                break
-            wave += 1
+        try:
+            while True:
+                frontier_path = self._p("frontier", f"wave={wave}")
+                if not os.path.isdir(frontier_path) or not os.listdir(frontier_path):
+                    break
+                n_next, n_frontier = self._run_wave(
+                    wave, frontier_path, fetch_desc, robots_ref, robots,
+                    base_domain, max_depth, seen, politeness, crawled_total)
+                crawled_total += n_frontier
+                # previous wave's checkpoint RPCs ran concurrently with this
+                # wave's extract — settle them before starting this wave's
+                # checkpoint (the marker itself lands asynchronously via the
+                # chained _write_marker task)
+                self._finalize_checkpoint()
+                self._checkpoint(wave, seen, politeness, crawled_total)
+                if n_next == 0 or crawled_total >= cfg.max_urls:
+                    break
+                wave += 1
+        except BaseException:
+            # graceful shutdown (SIGINT/driver error): give the in-flight
+            # snapshot a bounded window to settle so resume can trust the
+            # last completed wave; a hard kill still recovers via the
+            # chained marker task, at worst replaying one wave
+            try:
+                self._finalize_checkpoint(timeout=30)
+            except Exception:
+                pass
+            raise
 
         self._finalize_checkpoint()
         self._finish(t_start, crawled_total, n_corpus)
@@ -709,7 +734,14 @@ class CrawlJob:
         all of THIS wave's register RPCs were settled by the frontier
         build (ray.get), and the next wave's registers are only submitted
         by extract tasks that start after this method returns — so the
-        snapshot cannot absorb future-wave state."""
+        snapshot cannot absorb future-wave state.
+
+        Durability: the marker is written by a remote task CHAINED on the
+        snapshot refs (``_write_marker``), so it appears as soon as the
+        snapshot settles even if the driver dies at the start of the next
+        wave — the driver never blocks on it mid-run (out_dir is shared
+        storage in the multi-node picture, same as the pages/links sinks
+        the extract tasks already write in-task)."""
         if self.config.seen_checkpoint == "delta":
             refs = [s.checkpoint_delta.remote(
                         self._p("seen", f"wave={wave}", f"shard={i}.npz"))
@@ -720,7 +752,10 @@ class CrawlJob:
                     for i, s in enumerate(seen)]
         refs += [p.checkpoint.remote(self._p("politeness", f"wave={wave}", f"shard={i}.parquet"))
                  for i, p in enumerate(politeness)]
-        self._pending_ckpt = (wave, refs)
+        # marker task depends on every snapshot ref (passed positionally so
+        # Ray resolves them before scheduling — no ray.get inside)
+        marker_ref = _write_marker.remote(self._marker(wave), *refs)
+        self._pending_ckpt = (wave, marker_ref)
         meta = dict(self.metrics[-1]) if self.metrics else {}
         meta["crawled_total"] = crawled_total
         with open(self._p(f"metrics_wave_{wave}.json"), "w") as f:
@@ -747,18 +782,16 @@ class CrawlJob:
         with open(self._p(f"lineage_wave_{wave}.json"), "w") as f:
             json.dump(lineage, f, indent=1)
 
-    def _finalize_checkpoint(self) -> None:
-        """Settle the in-flight snapshot RPCs and write the wave's _WAVE_OK
-        marker (resume only trusts marked waves, so a crash mid-flight just
-        replays one extra wave)."""
+    def _finalize_checkpoint(self, timeout: float | None = None) -> None:
+        """Settle the in-flight marker task (which itself waited on every
+        snapshot RPC). Resume only trusts marked waves, so a crash mid-flight
+        just replays one extra wave."""
         pending = getattr(self, "_pending_ckpt", None)
         if pending is None:
             return
-        wave, refs = pending
+        _wave, marker_ref = pending
         self._pending_ckpt = None
-        ray.get(refs)
-        with open(self._marker(wave), "w") as f:
-            f.write("ok")
+        ray.get(marker_ref, timeout=timeout)
 
     def _restore(self, seen, politeness) -> tuple[int, int]:
         done = [int(p.split("_")[2]) for p in os.listdir(self.out_dir)

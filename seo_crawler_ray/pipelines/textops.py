@@ -242,9 +242,12 @@ def _band_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
 
 
 def lsh_candidates(sh_ds):
-    """sketches -> deduped-per-bucket candidate (a, b) pairs. The band rows
-    (24 B/doc/band) are hashed to _GATHER_BUCKETS co-shuffle buckets on
-    (band, band_hash) so the exchange has a bounded task count."""
+    """sketches -> deduped-per-bucket (a, b, kind) rows: kind=0 candidate
+    pairs between distinct-content representatives, kind=1 duplicate-group
+    (rep, member) edges (see _band_bucket_pairs). The band rows (40 B/doc/
+    band incl. the content fingerprint) are hashed to _GATHER_BUCKETS
+    co-shuffle buckets on (band, band_hash) so the exchange has a bounded
+    task count."""
     def bands_bucketed(batch: pa.Table) -> pa.Table:
         t = bands_from_shingles(batch)
         with np.errstate(over="ignore"):
