@@ -116,6 +116,190 @@ def sessionize(events_ds, gap_sec: int = SESSION_GAP_SEC) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+_ASOF_BUCKETS = 64
+_PROBE_KIND, _REF_KIND = 0, 1
+
+
+def _t_us(col) -> pa.Array:
+    """Timestamp column -> int64 epoch microseconds. Normalize resolution
+    first: parquet ships timestamp[us] but in-memory frames are often
+    [ns]; a raw int64 cast would make window arithmetic unit-dependent."""
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+
+def _tagged_union(probe_ds, probe_cols, ref_ds, ref_cols, n_buckets: int):
+    """Co-shuffle shape shared by the as-of and range joins: both tables
+    projected to one unified narrow schema (key, t_us, probe_id, ref_id,
+    cents, kind), tagged with ``key % n_buckets``, and unioned — the same
+    exchange pattern as ``coshuffle.bucketed_left_attach`` specialized to
+    an integer key plus an event-time column. One groupby over the union
+    co-locates each key's probe rows with its reference rows; nothing
+    bigger than one bucket (~1/n_buckets of either side) ever co-resides
+    in a task.
+
+    ``probe_cols`` = (id, key, ts); ``ref_cols`` = (id, key, ts, value)
+    with ``value`` None for joins that don't carry one (window counts).
+    ``n_buckets`` must be a power of two (bit-mask bucketing)."""
+    pid, pkey, pts = probe_cols
+    rid, rkey, rts, rval = ref_cols
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        key = batch[pkey].cast(pa.int64())
+        return pa.table({
+            "key": key,
+            "t_us": _t_us(batch[pts]),
+            "probe_id": batch[pid].cast(pa.int64()),
+            "ref_id": pa.nulls(len(batch), pa.int64()),
+            "cents": pa.nulls(len(batch), pa.int64()),
+            "kind": pa.array(np.full(len(batch), _PROBE_KIND, dtype=np.int8)),
+            "bucket": pc.cast(pc.bit_wise_and(key, n_buckets - 1), pa.int32()),
+        })
+
+    def tag_ref(batch: pa.Table) -> pa.Table:
+        key = batch[rkey].cast(pa.int64())
+        if rval is None:
+            cents = pa.nulls(len(batch), pa.int64())
+        else:
+            cents = pa.array(round_half_up(
+                batch[rval].to_numpy(zero_copy_only=False) * 100), pa.int64())
+        return pa.table({
+            "key": key,
+            "t_us": _t_us(batch[rts]),
+            "probe_id": pa.nulls(len(batch), pa.int64()),
+            "ref_id": batch[rid].cast(pa.int64()),
+            "cents": cents,
+            "kind": pa.array(np.full(len(batch), _REF_KIND, dtype=np.int8)),
+            "bucket": pc.cast(pc.bit_wise_and(key, n_buckets - 1), pa.int32()),
+        })
+
+    probe = probe_ds.select_columns([pid, pkey, pts]) \
+        .map_batches(tag_probe, batch_format="pyarrow")
+    # dict.fromkeys: dedupe while preserving order (rid may alias rkey on
+    # count-only sides) and drop the None value slot
+    ref = ref_ds.select_columns(
+        list(dict.fromkeys(c for c in (rid, rkey, rts, rval) if c))) \
+        .map_batches(tag_ref, batch_format="pyarrow")
+    return probe.union(ref).groupby("bucket")
+
+
+def asof_attach(probe_ds, probe_cols, ref_ds, ref_cols,
+                out_cols=("event_id", "user_id", "ref_id", "ref_cents"),
+                n_buckets: int = _ASOF_BUCKETS):
+    """As-of join: each probe row picks up the same-key reference row with
+    the greatest timestamp at or before the probe time — the classic
+    point-in-time feature attach Ray Data has no native operator for.
+
+    Tie-break is deterministic: among reference rows sharing the latest
+    timestamp the max id wins (both sides sorted ascending; ``merge_asof``
+    backward keeps the last row ≤ the probe). Probes with no prior
+    reference get the ``-1`` sentinel in both attached columns (keeps the
+    oracle-compared dtypes non-nullable int64).
+
+    Returns a streaming Dataset named by ``out_cols`` = (probe id, key,
+    attached ref id, attached ref cents); one row per probe row,
+    bucket-parallel and merge-sort-vectorized inside each bucket — no
+    all-pairs work, no driver materialization."""
+    c_pid, c_key, c_rid, c_cents = out_cols
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pr = g[g["kind"] == _PROBE_KIND]
+        rf = g[g["kind"] == _REF_KIND]
+        if pr.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in out_cols})
+        pr = pr[["probe_id", "key", "t_us"]] \
+            .sort_values("t_us", kind="mergesort")
+        rf = rf[["key", "t_us", "ref_id", "cents"]] \
+            .sort_values(["t_us", "ref_id"], kind="mergesort")
+        m = pd.merge_asof(pr, rf, on="t_us", by="key",
+                          direction="backward", allow_exact_matches=True)
+        return pd.DataFrame({
+            c_pid: m["probe_id"].astype("int64"),
+            c_key: m["key"].astype("int64"),
+            c_rid: m["ref_id"].fillna(-1).astype("int64"),
+            c_cents: m["cents"].fillna(-1).astype("int64"),
+        })
+
+    return _tagged_union(probe_ds, probe_cols, ref_ds, ref_cols, n_buckets) \
+        .map_groups(asof_bucket, batch_format="pandas")
+
+
+def window_count_attach(probe_ds, probe_cols, count_ds, count_cols,
+                        window_us: int,
+                        out_cols=("o_orderkey", "n_events"),
+                        n_buckets: int = _ASOF_BUCKETS):
+    """Range join: per probe row, how many same-key ``count_ds`` rows fall
+    in ``[t_probe, t_probe + window_us)``. Expressed as two as-of probes
+    against a per-key running row count (count(<t1) − count(<t0)), so each
+    bucket does two vectorized merge passes instead of a probe×count
+    interval product — the scale path for range joins whose windows are
+    uniform. ``count_cols`` = (key, ts)."""
+    c_pid, c_n = out_cols
+    ckey, cts = count_cols
+
+    def window_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pr = g[g["kind"] == _PROBE_KIND]
+        if pr.empty:
+            return pd.DataFrame({c_pid: pd.Series([], dtype="int64"),
+                                 c_n: pd.Series([], dtype="int64")})
+        cnt = g[g["kind"] == _REF_KIND][["key", "t_us"]] \
+            .sort_values("t_us", kind="mergesort").copy()
+        # per-key running count IN time order (frame is globally
+        # time-sorted, so the per-key subsequence is too)
+        cnt["cum"] = cnt.groupby("key").cumcount() + 1
+        pr = pr[["key", "t_us", "probe_id"]] \
+            .sort_values("t_us", kind="mergesort")
+        if cnt.empty:
+            n = np.zeros(len(pr), dtype=np.int64)
+        else:
+            # rows strictly before t0 / before t0+window: asof backward
+            # with exact matches OFF probes count(< t), so rows AT the
+            # probe time are included in the window (ts >= t0 contract)
+            lo = pd.merge_asof(pr, cnt, on="t_us", by="key",
+                               direction="backward",
+                               allow_exact_matches=False)["cum"] \
+                .fillna(0).to_numpy(dtype=np.int64)
+            hi_probe = pr.assign(t_us=pr["t_us"] + window_us)
+            hi = pd.merge_asof(hi_probe, cnt, on="t_us", by="key",
+                               direction="backward",
+                               allow_exact_matches=False)["cum"] \
+                .fillna(0).to_numpy(dtype=np.int64)
+            n = hi - lo
+        return pd.DataFrame({c_pid: pr["probe_id"].astype("int64"), c_n: n})
+
+    # count side needs an id column for the unified schema; reuse the key
+    cnt_cols4 = (ckey, ckey, cts, None)
+    return _tagged_union(probe_ds, probe_cols, count_ds, cnt_cols4,
+                         n_buckets) \
+        .map_groups(window_bucket, batch_format="pandas")
+
+
+_EVENT_COLS = ("event_id", "user_id", "ts")
+_ORDER_COLS = ("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+def asof_last_order(events_ds, orders_ds, n_buckets: int = _ASOF_BUCKETS):
+    """events × orders as-of: each event's user's most recent order at or
+    before the event time (degenerate on the synthetic tables — all
+    orders predate all events — but exercises the cross-table column
+    mapping and the same-date max-orderkey tie-break)."""
+    return asof_attach(
+        events_ds, _EVENT_COLS, orders_ds, _ORDER_COLS,
+        out_cols=("event_id", "user_id", "last_orderkey", "last_cents"),
+        n_buckets=n_buckets)
+
+
+def order_event_window_counts(events_ds, orders_ds, window_days: int = 7,
+                              n_buckets: int = _ASOF_BUCKETS):
+    """orders × events range join: events per order within ``window_days``
+    of the order date."""
+    return window_count_attach(
+        orders_ds, ("o_orderkey", "o_custkey", "o_orderdate"),
+        events_ds, ("user_id", "ts"),
+        window_us=window_days * 86_400_000_000,
+        out_cols=("o_orderkey", "n_events"), n_buckets=n_buckets)
+
+
 def event_type_stats(events_ds) -> pd.DataFrame:
     """Simple grouped aggregate surface (count/sum/min/max per type)."""
 

@@ -745,6 +745,47 @@ def q_orders_by_nation(sf_dir: str):
     return pdf.sort_values("nation").reset_index(drop=True)
 
 
+def q_events_asof_order(sf_dir: str):
+    """As-of join events -> most recent prior order (bucketed co-shuffle +
+    per-bucket merge_asof; see events.asof_last_order)."""
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    return events.asof_last_order(_events_ds(sf_dir), orders)
+
+
+def _events_of_type(sf_dir: str, ev_type: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts", "value",
+                                        "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.equal(t["event_type"], ev_type))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_purchase_asof_click(sf_dir: str):
+    """Attribution as-of: each purchase event picks up the same user's most
+    recent click at or before the purchase time. Unlike the orders variant
+    the two streams interleave in time, so the time dimension is live."""
+    return events.asof_attach(
+        _events_of_type(sf_dir, "purchase"), ("event_id", "user_id", "ts"),
+        _events_of_type(sf_dir, "click"), ("event_id", "user_id", "ts",
+                                           "value"),
+        out_cols=("event_id", "user_id", "click_event_id", "click_cents"))
+
+
+def q_signup_window_events(sf_dir: str):
+    """Range join: per signup event, how many of that user's events (any
+    type, the signup itself included) land in the following 7 days."""
+    return events.window_count_attach(
+        _events_of_type(sf_dir, "signup"), ("event_id", "user_id", "ts"),
+        _events_ds(sf_dir), ("user_id", "ts"),
+        window_us=7 * 86_400_000_000,
+        out_cols=("event_id", "n_follow"))
+
+
 def q_sessionize(sf_dir: str):
     return events.sessionize(_events_ds(sf_dir))
 
@@ -794,6 +835,9 @@ def queries() -> dict:
         "distinct_event_types": q_distinct_event_types,
         "sessionize": q_sessionize,
         "event_type_stats": q_event_type_stats,
+        "events_asof_order": q_events_asof_order,
+        "purchase_asof_click": q_purchase_asof_click,
+        "signup_window_events": q_signup_window_events,
         "top_customers": q_top_customers,
         "orders_by_nation": q_orders_by_nation,
         "orders_by_region": q_orders_by_region,
@@ -1462,6 +1506,37 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type""",
+        "events_asof_order": """
+            SELECT e.event_id, e.user_id,
+                   COALESCE(o.o_orderkey, -1) AS last_orderkey,
+                   COALESCE(o.cents, -1) AS last_cents
+            FROM events e LEFT JOIN LATERAL (
+                SELECT o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+                WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+                ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+            ) o ON TRUE""",
+        "purchase_asof_click": """
+            SELECT p.event_id, p.user_id,
+                   COALESCE(c.event_id2, -1) AS click_event_id,
+                   COALESCE(c.cents, -1) AS click_cents
+            FROM events p LEFT JOIN LATERAL (
+                SELECT event_id AS event_id2,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE event_type = 'click' AND user_id = p.user_id
+                  AND ts <= p.ts
+                ORDER BY ts DESC, event_id DESC LIMIT 1
+            ) c ON TRUE
+            WHERE p.event_type = 'purchase'""",
+        "signup_window_events": """
+            SELECT s.event_id, count(e.event_id) AS n_follow
+            FROM events s LEFT JOIN events e
+              ON e.user_id = s.user_id
+             AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 7 DAY
+            WHERE s.event_type = 'signup'
+            GROUP BY s.event_id""",
         "top_customers": """
             WITH agg AS (
               SELECT o_custkey,
