@@ -26,6 +26,8 @@ from __future__ import annotations
 import json
 import re
 from functools import lru_cache
+
+import numpy as _np
 from urllib.parse import urljoin, urlparse
 
 from ..htmlparse.dom import Node, parse_html
@@ -35,6 +37,29 @@ from .urls import canonicalize, strip_www
 # identical to the reference's len(findall(r'\b\w+\b')) minus the \b
 # lookaround cost (seo_extractor.py:32-34)
 _WORD_RE = re.compile(r"\w+")
+
+# ASCII \w lookup for the vectorized word-count fast path: for code points
+# < 128, Python's unicode \w is exactly [A-Za-z0-9_]
+_ASCII_WORD_MASK = _np.zeros(256, dtype=bool)
+_ASCII_WORD_MASK[ord("0"):ord("9") + 1] = True
+_ASCII_WORD_MASK[ord("A"):ord("Z") + 1] = True
+_ASCII_WORD_MASK[ord("a"):ord("z") + 1] = True
+_ASCII_WORD_MASK[ord("_")] = True
+
+
+def _count_words(text: str) -> int:
+    """len(_WORD_RE.findall(text)) without materializing the word list.
+
+    Counts maximal \\w+ runs as 0->1 mask transitions over the byte array —
+    identical to the findall count whenever the text is pure ASCII (the
+    common case); non-ASCII falls back to the regex."""
+    if not text.isascii():
+        return len(_WORD_RE.findall(text))
+    arr = _np.frombuffer(text.encode("ascii"), dtype=_np.uint8)
+    if arr.size == 0:
+        return 0
+    mask = _ASCII_WORD_MASK[arr]
+    return int(mask[0]) + int(_np.count_nonzero(mask[1:] & ~mask[:-1]))
 _OG_RE = re.compile(r"^og:")
 _TWITTER_RE = re.compile(r"^twitter:")
 _GA4_RE = re.compile(r"G-[A-Z0-9]{10}")
@@ -253,7 +278,7 @@ def _basic_seo(soup: Node, result: dict) -> None:
 
     # same count as the reference's len(re.findall(r'\b\w+\b', text)),
     # seo_extractor.py:32-34; findall runs the scan loop in C
-    result["word_count"] = len(_WORD_RE.findall(soup.get_text()))
+    result["word_count"] = _count_words(soup.get_text())
 
     html_tag = soup.find("html")
     result["lang"] = html_tag.get("lang", "") if html_tag else ""

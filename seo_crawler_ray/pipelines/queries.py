@@ -197,7 +197,15 @@ def extract_all_batch(batch: pa.Table, base_domain: str) -> pa.Table:
     O(corpus) url->meta dict is built or shipped anywhere."""
     from ..functions.extract import extract_page
     from ..functions.urls import is_internal
-    rows = []
+    cols: dict[str, list] = {k: [] for k in (
+        "url", "title", "meta_description", "h1", "h2_joined", "h3_joined",
+        "word_count", "lang", "charset", "viewport", "robots", "author",
+        "keywords", "generator", "theme_color", "canonical_url", "og_title",
+        "og_author", "twitter_card", "json_ld_count", "schema_org_count",
+        "n_images", "images_without_alt", "internal_links",
+        "external_links", "ga4_id", "gtm_id")}
+    ap = {k: cols[k].append for k in cols}
+    n_out = 0
     for url, html, status, ct in zip(
             batch["url"].to_pylist(), batch["html"].to_pylist(),
             batch["status_code"].to_pylist(),
@@ -208,31 +216,32 @@ def extract_all_batch(batch: pa.Table, base_domain: str) -> pa.Table:
             html, url, 0, base_domain, status, ct,
             is_internal(url, base_domain))
         og = res["og_tags"]
-        rows.append({
-            "url": url, "title": res["title"],
-            "meta_description": res["meta_description"], "h1": res["h1"],
-            "h2_joined": " | ".join(res["h2"]),
-            "h3_joined": " | ".join(res["h3"]),
-            "word_count": res["word_count"], "lang": res["lang"],
-            "charset": res["charset"], "viewport": res["viewport"],
-            "robots": res["robots"], "author": res["author"],
-            "keywords": res["keywords"], "generator": res["generator"],
-            "theme_color": res["theme_color"],
-            "canonical_url": res["canonical_url"],
-            "og_title": og.get("title", ""), "og_author": og.get("author", ""),
-            "twitter_card": res["twitter_tags"].get("card", ""),
-            "json_ld_count": len(res["json_ld"]),
-            "schema_org_count": len(res["schema_org"]),
-            "n_images": len(res["images"]),
-            "images_without_alt": sum(1 for im in res["images"] if not im["alt"]),
-            "internal_links": res["internal_links"],
-            "external_links": res["external_links"],
-            "ga4_id": res["analytics"]["ga4_id"],
-            "gtm_id": res["analytics"]["gtm_id"],
-        })
-    if not rows:
+        n_out += 1
+        ap["url"](url); ap["title"](res["title"])
+        ap["meta_description"](res["meta_description"]); ap["h1"](res["h1"])
+        ap["h2_joined"](" | ".join(res["h2"]))
+        ap["h3_joined"](" | ".join(res["h3"]))
+        ap["word_count"](res["word_count"]); ap["lang"](res["lang"])
+        ap["charset"](res["charset"]); ap["viewport"](res["viewport"])
+        ap["robots"](res["robots"]); ap["author"](res["author"])
+        ap["keywords"](res["keywords"]); ap["generator"](res["generator"])
+        ap["theme_color"](res["theme_color"])
+        ap["canonical_url"](res["canonical_url"])
+        ap["og_title"](og.get("title", ""))
+        ap["og_author"](og.get("author", ""))
+        ap["twitter_card"](res["twitter_tags"].get("card", ""))
+        ap["json_ld_count"](len(res["json_ld"]))
+        ap["schema_org_count"](len(res["schema_org"]))
+        ap["n_images"](len(res["images"]))
+        ap["images_without_alt"](
+            sum(1 for im in res["images"] if not im["alt"]))
+        ap["internal_links"](res["internal_links"])
+        ap["external_links"](res["external_links"])
+        ap["ga4_id"](res["analytics"]["ga4_id"])
+        ap["gtm_id"](res["analytics"]["gtm_id"])
+    if not n_out:
         return pa.table({"url": pa.array([], pa.string())})
-    return pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    return pa.table(cols)
 
 
 def _pages_meta_path(cdir: str) -> str:
@@ -268,7 +277,10 @@ def q_extract_pages(sf_dir: str):
     ds = ray.data.read_parquet(
         merged,
         columns=["url", "html", "status_code", "content_type_header"],
-        override_num_blocks=max(1, min(n_cpu * 2, n_rows // 128 + 1)))
+        # 4 blocks per CPU: task wall times vary ~5x with page size, so a
+        # 2/CPU split leaves a long straggler tail (measured 12.1s -> 8.8s
+        # at sf0.1/32cpu going 64 -> 128 blocks)
+        override_num_blocks=max(1, min(n_cpu * 4, n_rows // 128 + 1)))
     return ds.map_batches(extract_all_batch, batch_format="pyarrow",
                           fn_kwargs={"base_domain": base_domain},
                           batch_size=None, num_cpus=1)
