@@ -29,6 +29,7 @@ import ray.data
 from ..functions.urls import canonicalize
 from ..sources.cache import DUP_SUBSET, corpus_dir, crawl_dir, flagship_config
 from . import analysis, arrowutil, embedops, events, textops
+from .graph import pagerank_sql as _pagerank_sql
 
 SF01 = "/root/testdata/sf0.01"
 
@@ -175,6 +176,14 @@ def q_issues_duplication(sf_dir: str):
     return analysis.duplication_issues_distributed(
         _pages_ds(sf_dir), cfg.duplication_threshold,
         cfg.issue_exclusion_patterns, DUP_SUBSET)
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank (5 iterations) over the internal link
+    graph of the crawl — integer arithmetic end to end, so the unrolled-CTE
+    DuckDB oracle value-hash-matches exactly."""
+    from .graph import pagerank
+    return pagerank(_pages_ds(sf_dir), _links_ds(sf_dir), n_iter=5)
 
 
 def q_status_counts(sf_dir: str):
@@ -602,6 +611,32 @@ def q_token_counts(sf_dir: str):
     return out
 
 
+def q_top_terms(sf_dir: str):
+    """Exact global top-25 terms (combiner -> vocab-sized shuffle)."""
+    return textops.top_terms(_docs_ds(sf_dir), k=25)
+
+
+def q_top_terms_sketch(sf_dir: str):
+    """Same answer via the bounded-state sketch+recount path. The synthetic
+    corpus vocabulary is tiny and near-uniform, so any m that truncates
+    here would make the error budget E exceed T_k (the operator then
+    correctly refuses to claim exactness); the default m runs the
+    sketch machinery with E=0, and real truncation + E>0 exactness is
+    pinned by test_top_terms_sketch_truncation_exact's wide-zipf fixture."""
+    return textops.top_terms_sketch(_docs_ds(sf_dir), k=25)
+
+
+_BM25_TERMS = ("dup", "window", "spark")
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-20 for a fixed 3-term query; constants (idf, avgdl) are
+    recomputed by the oracle SQL from the same table with operation-
+    identical float arithmetic."""
+    ds, _ = textops.bm25_topk(_docs_ds(sf_dir), _BM25_TERMS, k=20)
+    return ds
+
+
 def q_repetition_stats(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(textops.repetition_stats_batch,
                                         batch_format="pyarrow")
@@ -865,6 +900,7 @@ def queries() -> dict:
         "issues_duplication": q_issues_duplication,
         "status_counts": q_status_counts,
         "crawl_stats": q_crawl_stats,
+        "pagerank": q_pagerank,
         "eeat_scores": q_eeat_scores,
         # pure extraction (vs generator truth)
         "extract_pages": q_extract_pages,
@@ -900,6 +936,9 @@ def queries() -> dict:
         "langid": q_langid,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
+        "top_terms": q_top_terms,
+        "top_terms_sketch": q_top_terms_sketch,
+        "bm25_topk": q_bm25_topk,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_winnow": q_doc_winnow,
         "repetition_stats": q_repetition_stats,
@@ -910,6 +949,60 @@ def queries() -> dict:
 
 
 # ------------------------------------------------------------- oracles ----
+_TOP_TERMS_SQL = """
+    SELECT word AS term, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+          FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, term ASC
+    LIMIT 25"""
+
+# Float contract with textops.bm25_topk: every double op appears in the
+# same order as the Python side (kk as (1.2 + 1.0) so the constant is the
+# same IEEE sum, avgdl as (sum_dl / n_docs), idf inputs int-exact), so the
+# floor(x*1e4+0.5) integerization sees bit-identical doubles.
+_BM25_SQL = """
+    WITH st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                  AS DOUBLE) AS sum_dl,
+             CAST(sum(CASE WHEN list_contains(
+                  regexp_extract_all(lower(text), '[a-z0-9]+'), 'dup')
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN list_contains(
+                  regexp_extract_all(lower(text), '[a-z0-9]+'), 'window')
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN list_contains(
+                  regexp_extract_all(lower(text), '[a-z0-9]+'), 'spark')
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM documents
+    ), sc AS (
+      SELECT doc_id,
+             CAST(len(w) AS DOUBLE) AS dl,
+             CAST(len(list_filter(w, x -> x = 'dup')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf2
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+            FROM documents)
+    )
+    SELECT doc_id, score_i4 FROM (
+      SELECT doc_id,
+             CAST(floor((
+                 ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                   * ((tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75)
+                      + 0.75 * (dl / (sum_dl / n_docs)))))
+               + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                   * ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75)
+                      + 0.75 * (dl / (sum_dl / n_docs)))))
+               + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                   * ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75)
+                      + 0.75 * (dl / (sum_dl / n_docs)))))
+             ) * 10000.0 + 0.5) AS BIGINT) AS score_i4
+      FROM sc, st
+    ) WHERE score_i4 > 0
+    ORDER BY score_i4 DESC, doc_id ASC
+    LIMIT 20"""
+
 _ISSUE_RULES_SQL_TEMPLATE = """
 WITH p AS (SELECT * FROM read_parquet('{exp_pages}') WHERE NOT issue_excluded)
 SELECT url, 'error' AS type, 'SEO' AS category, 'Missing Title Tag' AS issue,
@@ -1077,6 +1170,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             SELECT target_url,
                    string_agg(source_url, '|' ORDER BY source_seq) AS linked_from_joined
             FROM read_parquet('{exp_links}') GROUP BY target_url""",
+        "pagerank": _pagerank_sql(exp_pages, exp_links, n_iter=5),
         "issues": _ISSUE_RULES_SQL_TEMPLATE.format(exp_pages=exp_pages),
         "issues_duplication": (
             "SELECT url, type, category, issue, details FROM "
@@ -1350,6 +1444,9 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                         '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY source""",
+        "top_terms": _TOP_TERMS_SQL,
+        "top_terms_sketch": _TOP_TERMS_SQL,
+        "bm25_topk": _BM25_SQL,
         "doc_fingerprints": r"""
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

@@ -32,6 +32,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # -- tokenization (mirrored in the SQL oracles; ASCII corpus) -------------
 WORD_RE = re.compile(r"\w+")
@@ -950,3 +951,204 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
     fps = [md5_hex(WS_RE.sub(" ", t.lower().strip(" ")))
            for t in batch[text_col].to_pylist()]
     return pa.table({id_col: batch[id_col], "fingerprint": pa.array(fps)})
+
+
+# ----------------------------------------- term frequency / retrieval ----
+def term_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Map-side combiner for global term counting: one (term, n) row per
+    DISTINCT term in the batch, so the shuffle moves vocabulary-sized
+    partials, never token streams."""
+    from collections import Counter
+    ctr: Counter = Counter()
+    for t in batch[text_col].to_pylist():
+        ctr.update(LOWER_WORD_RE.findall(t.lower()))
+    return pa.table({"term": pa.array(list(ctr.keys()), pa.string()),
+                     "n": pa.array(list(ctr.values()), pa.int64())})
+
+
+def top_terms(docs_ds, k: int = 25):
+    """Exact global top-k most frequent terms: per-batch combiner ->
+    groupby(term).sum -> distributed sort(desc n, asc term) -> limit(k).
+    The shuffle is vocabulary-sized (per-batch distinct terms), not
+    token-stream-sized; ties at the k boundary break on term ASC so the
+    result set is deterministic."""
+    from ray.data.aggregate import Sum
+    agg = (docs_ds.select_columns(["text"])
+           .map_batches(term_count_batch, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("n", alias_name="n")))
+    return agg.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
+def _truncated_count_batch(batch: pa.Table, m: int,
+                           text_col: str = "text") -> pa.Table:
+    """Space-bounded per-batch term summary: the top-``m`` terms by count
+    (count desc, term asc) plus ONE sentinel row (term='', n=max dropped
+    count). A term absent from this batch's summary has true batch count
+    <= the sentinel, so summing sentinels over batches bounds the global
+    undercount of any truncated term (the SpaceSaving/Misra-Gries error
+    argument with per-shard truncation)."""
+    from collections import Counter
+    ctr: Counter = Counter()
+    for t in batch[text_col].to_pylist():
+        ctr.update(LOWER_WORD_RE.findall(t.lower()))
+    err = 0
+    if len(ctr) > m:
+        kept = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        err = kept[m][1]               # largest dropped count
+        kept = kept[:m]
+    else:
+        kept = list(ctr.items())
+    terms = [t for t, _ in kept] + [""]
+    counts = [c for _, c in kept] + [err]
+    return pa.table({"term": pa.array(terms, pa.string()),
+                     "n": pa.array(counts, pa.int64())})
+
+
+def top_terms_sketch(docs_ds, k: int = 25, m: int = 4096,
+                     candidate_cap: int = 262_144):
+    """EXACT top-k frequent terms with bounded per-task state — the scale
+    path when the vocabulary itself is too large to shuffle (URLs, hosts,
+    n-grams): truncated per-batch summaries give a lower bound lb(t) and a
+    global error budget E = sum of per-batch truncation bounds; every term
+    that could possibly reach the true top-k satisfies lb(t) >= T_k - E
+    (T_k = k-th largest lb, since true counts are sandwiched by
+    lb <= true <= lb + E). Those candidates are recounted EXACTLY in a
+    second broadcast pass, so the output equals ``top_terms`` on every
+    input — the sketch only bounds memory, never accuracy.
+
+    ``candidate_cap`` guards the broadcast: if the bound logic would admit
+    more candidates (adversarially flat distributions), raise instead of
+    silently shipping an oversized set."""
+    import ray
+    from ray.data.aggregate import Sum
+    lb = (docs_ds.select_columns(["text"])
+          .map_batches(_truncated_count_batch, batch_format="pyarrow",
+                       fn_kwargs={"m": m})
+          .groupby("term").aggregate(Sum("n", alias_name="n"))
+          .materialize())              # reused: E, T_k, candidate filter
+    err_rows = lb.filter(expr="term == ''").take_all()
+    e_total = int(err_rows[0]["n"]) if err_rows else 0
+    top = lb.filter(expr="term != ''") \
+            .sort(["n", "term"], descending=[True, False]).limit(k)
+    top_rows = top.take(k)
+    # fewer than k surviving lower bounds means unseen terms compete for
+    # the remaining slots on their error budget alone -> T_k = 0
+    t_k = int(top_rows[-1]["n"]) if len(top_rows) >= k else 0
+    floor = t_k - e_total
+    if e_total and floor <= 0:
+        # a term truncated in EVERY batch has lb=0 but true count <= E;
+        # with E >= T_k such unseen terms could still reach the top-k, and
+        # they cannot be enumerated — exactness is unprovable at this m
+        raise ValueError(
+            f"heavy-hitter candidate set unbounded: error budget "
+            f"E={e_total} >= k-th lower bound T_k={t_k}; raise m "
+            f"(per-batch summary size)")
+    cand = [r["term"] for r in
+            lb.filter(expr=f"n >= {floor} and term != ''").take_all()]
+    if len(cand) > candidate_cap:
+        raise ValueError(
+            f"heavy-hitter candidate set {len(cand)} exceeds cap "
+            f"{candidate_cap}; raise m (per-batch summary size) so the "
+            f"error budget E={e_total} tightens")
+    cand_ref = ray.put(frozenset(cand))
+
+    def recount(batch: pa.Table, keep_ref) -> pa.Table:
+        # fn_kwargs does NOT auto-resolve ObjectRefs; ray.get here is a
+        # local plasma read after the first touch per worker
+        keep = ray.get(keep_ref)
+        from collections import Counter
+        ctr: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            for w in LOWER_WORD_RE.findall(t.lower()):
+                if w in keep:
+                    ctr[w] += 1
+        return pa.table({"term": pa.array(list(ctr.keys()), pa.string()),
+                         "n": pa.array(list(ctr.values()), pa.int64())})
+
+    exact = (docs_ds.select_columns(["text"])
+             .map_batches(recount, batch_format="pyarrow",
+                          fn_kwargs={"keep_ref": cand_ref})
+             .groupby("term").aggregate(Sum("n", alias_name="n")))
+    return exact.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
+def bm25_topk(docs_ds, query_terms: tuple[str, ...], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """BM25-scored retrieval over the corpus (Robertson/Sparck Jones
+    probabilistic weighting): two streaming passes, no index materialized.
+
+    Pass 1 reduces per-batch partials (n_docs, total token length, per-term
+    document frequencies) to a handful of ints on the driver. Pass 2
+    broadcasts the resulting idf/avgdl constants and scores every document
+    vectorized, keeping each batch's top-k before the global
+    sort(score desc, id asc).limit(k).
+
+    Scores are integerized half-up at 1e4; the idf and avgdl DOUBLES are
+    computed once here and inlined verbatim (repr round-trip) into the
+    oracle SQL, and the per-term contributions are accumulated in query
+    order on both sides, so the float pipelines are operation-identical.
+    Returns (dataset, constants) where constants is the dict the SQL
+    oracle needs."""
+    import math
+
+    qt = tuple(query_terms)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        word_lists = [LOWER_WORD_RE.findall(t.lower()) for t in texts]
+        dfs = [0] * len(qt)
+        for ws in word_lists:
+            s = set(ws)
+            for j, term in enumerate(qt):
+                if term in s:
+                    dfs[j] += 1
+        cols = {"n_docs": pa.array([len(texts)], pa.int64()),
+                "sum_dl": pa.array([sum(len(w) for w in word_lists)],
+                                   pa.int64())}
+        for j in range(len(qt)):
+            cols[f"df_{j}"] = pa.array([dfs[j]], pa.int64())
+        return pa.table(cols)
+
+    parts = (docs_ds.select_columns([text_col])
+             .map_batches(partial, batch_format="pyarrow").take_all())
+    n_docs = sum(r["n_docs"] for r in parts)
+    sum_dl = sum(r["sum_dl"] for r in parts)
+    dfs = [sum(r[f"df_{j}"] for r in parts) for j in range(len(qt))]
+    avgdl = sum_dl / n_docs if n_docs else 1.0
+    idfs = [math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) for df in dfs]
+    kk = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        tf = np.zeros((len(qt), len(texts)), dtype=np.float64)
+        dl = np.zeros(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            ws = LOWER_WORD_RE.findall(t.lower())
+            dl[i] = len(ws)
+            for w in ws:
+                for j, term in enumerate(qt):
+                    if w == term:
+                        tf[j, i] += 1.0
+        denom_base = k1 * (one_minus_b + b * (dl / avgdl))
+        s = np.zeros(len(texts), dtype=np.float64)
+        for j in range(len(qt)):       # fixed order == SQL's + chain
+            s = s + idfs[j] * ((tf[j] * kk) / (tf[j] + denom_base))
+        scaled = np.floor(s * 1e4 + 0.5).astype(np.int64)
+        out = pa.table({id_col: batch[id_col],
+                        "score_i4": pa.array(scaled, pa.int64())})
+        out = out.filter(pc.greater(out["score_i4"], 0))
+        if out.num_rows > k:           # per-batch top-k prefilter
+            idx = pc.select_k_unstable(
+                out, k, [("score_i4", "descending"), (id_col, "ascending")])
+            out = out.take(idx)
+        return out
+
+    ds = (docs_ds.select_columns([id_col, text_col])
+          .map_batches(score, batch_format="pyarrow")
+          .sort(["score_i4", id_col], descending=[True, False])
+          .limit(k))
+    constants = {"n_docs": n_docs, "avgdl": avgdl, "idfs": idfs,
+                 "k1": k1, "b": b, "kk": kk, "one_minus_b": one_minus_b}
+    return ds, constants

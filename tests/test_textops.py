@@ -540,3 +540,85 @@ def test_embedding_lsh_auto_params_recall_and_bucket_bound(ray_session):
     # hashed codes allow generous skew slack but nothing near O(n)
     planes, bands = lsh_params_for(n, 0.35)
     assert n / (2 ** planes) <= 64
+
+
+# ------------------------------------------ heavy hitters / retrieval ----
+@pytest.fixture(scope="module")
+def zipf_docs(ray_session):
+    """Wide vocabulary with a planted zipf head, in enough blocks that
+    m=64 truncation really drops terms per batch."""
+    import ray.data
+    rng = np.random.RandomState(11)
+    vocab = np.array([f"tok{i:04d}" for i in range(3000)])
+    # zipf-ish weights: head terms dominate but tail is broad
+    w = 1.0 / np.arange(1, len(vocab) + 1) ** 1.1
+    w /= w.sum()
+    docs = [" ".join(rng.choice(vocab, 120, p=w)) for _ in range(400)]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    return ray.data.from_pandas(df).repartition(16)
+
+
+def _exact_top(docs_pdf, k):
+    from collections import Counter
+    import re
+    ctr = Counter()
+    for t in docs_pdf["text"]:
+        ctr.update(re.findall(r"[a-z0-9]+", t.lower()))
+    return sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_top_terms_exact(zipf_docs):
+    from seo_crawler_ray.pipelines.textops import top_terms
+    got = top_terms(zipf_docs, k=30).to_pandas()
+    want = _exact_top(zipf_docs.to_pandas(), 30)
+    assert list(zip(got["term"], got["n"])) == want
+
+
+def test_top_terms_sketch_truncation_exact(zipf_docs):
+    """m=64 << per-batch vocab, so every batch truncates and the error
+    budget E > 0 — and the recount pass must still be exactly equal to
+    the full groupby answer."""
+    from seo_crawler_ray.pipelines.textops import top_terms, top_terms_sketch
+    got = top_terms_sketch(zipf_docs, k=30, m=64).to_pandas()
+    want = top_terms(zipf_docs, k=30).to_pandas()
+    assert list(zip(got["term"], got["n"])) == \
+        list(zip(want["term"], want["n"]))
+
+
+def test_top_terms_sketch_candidate_cap(zipf_docs):
+    from seo_crawler_ray.pipelines.textops import top_terms_sketch
+    with pytest.raises(ValueError, match="candidate set"):
+        top_terms_sketch(zipf_docs, k=30, m=2, candidate_cap=10)
+
+
+def test_bm25_matches_brute_force(zipf_docs):
+    """BM25 top-k equals a single-process numpy reference on the same
+    formula (same constants, same accumulation order)."""
+    import math
+    import re
+    from seo_crawler_ray.pipelines.textops import bm25_topk
+    qt = ("tok0000", "tok0005", "tok0100")
+    ds, consts = bm25_topk(zipf_docs, qt, k=15)
+    got = ds.to_pandas()
+
+    pdf = zipf_docs.to_pandas()
+    word_lists = [re.findall(r"[a-z0-9]+", t.lower()) for t in pdf["text"]]
+    n = len(pdf)
+    dls = np.array([len(ws) for ws in word_lists], dtype=np.float64)
+    avgdl = float(sum(len(ws) for ws in word_lists)) / n
+    rows = []
+    for doc_id, ws, dl in zip(pdf["doc_id"], word_lists, dls):
+        s = 0.0
+        for term in qt:
+            df_t = sum(1 for wl in word_lists if term in set(wl))
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            tf = float(sum(1 for w in ws if w == term))
+            s = s + idf * ((tf * (1.2 + 1.0))
+                           / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
+        scaled = int(np.floor(s * 1e4 + 0.5))
+        if scaled > 0:
+            rows.append((doc_id, scaled))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    want = rows[:15]
+    assert list(zip(got["doc_id"], got["score_i4"])) == want
+    assert consts["n_docs"] == n
