@@ -263,3 +263,100 @@ def duplication_issues_distributed(pages_ds, threshold: float,
     if not rows:
         return pd.DataFrame(columns=["url", "type", "category", "issue", "details"])
     return pd.DataFrame(rows)
+
+
+# ------------------------------------------------- anchor-text profile ----
+def anchor_profiles(links_ds, n_buckets: int = 128):
+    """Per-target anchor-text profile over INTERNAL links: total inbound
+    links, distinct anchor texts, and the dominant anchor (most frequent,
+    ties to the lexicographically smallest) — the classic anchor-signal
+    report built on the reference's link records (link_manager.py:193-202
+    stores anchor_text per edge; the web UI surfaces per-target link
+    rollups).
+
+    Shuffle shape: a per-batch (target, anchor) combiner collapses
+    repeated edges before the exchange, targets are hash-bucketed (one
+    gather task per bucket, never per target), and each bucket's pandas
+    groupby finishes ~1/n_buckets of the targets. Nothing driver-resident.
+    """
+    from .coshuffle import string_buckets
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.filter(batch["is_internal"]) \
+            .select(["target_url", "anchor_text"]).to_pandas()
+        part = df.groupby(["target_url", "anchor_text"], sort=False) \
+            .size().reset_index(name="n")
+        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        return tbl.append_column(
+            "_bkt", pa.array(string_buckets(tbl["target_url"], n_buckets)))
+
+    def profile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["target_url", "anchor_text"], sort=False)["n"] \
+            .sum().reset_index()
+        g = g.sort_values(["target_url", "n", "anchor_text"],
+                          ascending=[True, False, True])
+        agg = g.groupby("target_url", sort=False).agg(
+            n_links=("n", "sum"), n_anchors=("n", "size"),
+            top_anchor=("anchor_text", "first"), top_anchor_n=("n", "first"))
+        return agg.reset_index()
+
+    return (links_ds.select_columns(["target_url", "anchor_text",
+                                     "is_internal"])
+            .map_batches(combine, batch_format="pyarrow")
+            .groupby("_bkt").map_groups(profile, batch_format="pandas"))
+
+
+# ------------------------------------------------------- recrawl diff ----
+def recrawl_diff(old_pages_ds, new_pages_ds, n_buckets: int = 128):
+    """Incremental-recrawl comparison of two page sets keyed by URL:
+    emits (url, change, old_status, new_status) with change in
+    {'added', 'removed', 'changed'} — 'changed' when the content signature
+    (status_code, word_count, title) differs. Unchanged pages are dropped
+    (the diff of two 10^10-page crawls is the small output; the inputs are
+    the big ones). Missing statuses surface as -1 so the output is
+    null-free integer columns (value-hash-stable).
+
+    Both sides co-shuffle by hash(url) bucket; per-bucket pandas does an
+    outer merge over ~1/n_buckets of the union. The reference versions
+    crawls by crawl_id in one SQLite file (crawl_db.py:102,308) — the
+    same comparison there is a SQL join; here neither crawl may touch the
+    driver."""
+    from .coshuffle import string_buckets
+
+    def tag(kind: int):
+        def _tag(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": batch["url"],
+                "status_code": batch["status_code"].cast(pa.int64()),
+                "word_count": batch["word_count"].cast(pa.int64()),
+                "title": batch["title"],
+                "_kind": pa.array(np.full(len(batch), kind, dtype=np.int8)),
+                "_bkt": pa.array(string_buckets(batch["url"], n_buckets)),
+            })
+        return _tag
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["_kind"] == 0]
+        new = g[g["_kind"] == 1]
+        m = old.merge(new, on="url", how="outer", suffixes=("_o", "_n"))
+        in_old = m["status_code_o"].notna()
+        in_new = m["status_code_n"].notna()
+        changed = in_old & in_new & (
+            (m["status_code_o"] != m["status_code_n"])
+            | (m["word_count_o"] != m["word_count_n"])
+            | (m["title_o"] != m["title_n"]))
+        out = pd.DataFrame({
+            "url": m["url"],
+            "change": np.where(~in_old, "added",
+                               np.where(~in_new, "removed", "changed")),
+            "old_status": m["status_code_o"].fillna(-1).astype("int64"),
+            "new_status": m["status_code_n"].fillna(-1).astype("int64"),
+        })
+        return out[~in_old | ~in_new | changed].reset_index(drop=True)
+
+    cols = ["url", "status_code", "word_count", "title"]
+    return (old_pages_ds.select_columns(cols)
+            .map_batches(tag(0), batch_format="pyarrow")
+            .union(new_pages_ds.select_columns(cols)
+                   .map_batches(tag(1), batch_format="pyarrow"))
+            .groupby("_bkt").map_groups(diff, batch_format="pandas"))

@@ -186,6 +186,24 @@ def q_pagerank(sf_dir: str):
     return pagerank(_pages_ds(sf_dir), _links_ds(sf_dir), n_iter=5)
 
 
+def q_anchor_profiles(sf_dir: str):
+    """Per-target anchor-text rollup over internal links."""
+    return analysis.anchor_profiles(_links_ds(sf_dir))
+
+
+# "previous crawl" = the first RECRAWL_CUTOFF pages by crawl order; the
+# diff machinery (added/removed/changed via url co-shuffle) is exercised
+# with real crawl output, and the removed/changed branches are pinned by
+# tests/test_analysis_diff.py fixtures.
+RECRAWL_CUTOFF = 100
+
+
+def q_recrawl_diff(sf_dir: str):
+    pages = _pages_ds(sf_dir)
+    return analysis.recrawl_diff(
+        pages.filter(expr=f"rank < {RECRAWL_CUTOFF}"), pages)
+
+
 def q_status_counts(sf_dir: str):
     return analysis.status_counts(_pages_ds(sf_dir))
 
@@ -637,6 +655,17 @@ def q_bm25_topk(sf_dir: str):
     return ds
 
 
+def q_doc_length_quantiles(sf_dir: str):
+    """Exact integer percentiles of document token length via the bounded
+    histogram combiner."""
+    return textops.length_quantiles(_docs_ds(sf_dir))
+
+
+def q_inverted_index(sf_dir: str):
+    """Full postings-list build: term -> (df, cf, 'doc:tf,...')."""
+    return textops.inverted_index(_docs_ds(sf_dir))
+
+
 def q_repetition_stats(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(textops.repetition_stats_batch,
                                         batch_format="pyarrow")
@@ -898,6 +927,8 @@ def queries() -> dict:
         "linked_from": q_linked_from,
         "issues": q_issues,
         "issues_duplication": q_issues_duplication,
+        "anchor_profiles": q_anchor_profiles,
+        "recrawl_diff": q_recrawl_diff,
         "status_counts": q_status_counts,
         "crawl_stats": q_crawl_stats,
         "pagerank": q_pagerank,
@@ -939,6 +970,8 @@ def queries() -> dict:
         "top_terms": q_top_terms,
         "top_terms_sketch": q_top_terms_sketch,
         "bm25_topk": q_bm25_topk,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "inverted_index": q_inverted_index,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_winnow": q_doc_winnow,
         "repetition_stats": q_repetition_stats,
@@ -1171,6 +1204,41 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                    string_agg(source_url, '|' ORDER BY source_seq) AS linked_from_joined
             FROM read_parquet('{exp_links}') GROUP BY target_url""",
         "pagerank": _pagerank_sql(exp_pages, exp_links, n_iter=5),
+        "anchor_profiles": f"""
+            WITH a AS (SELECT target_url, anchor_text,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM read_parquet('{exp_links}') WHERE is_internal
+                       GROUP BY target_url, anchor_text)
+            SELECT target_url, n_links, n_anchors,
+                   anchor_text AS top_anchor, n AS top_anchor_n
+            FROM (SELECT target_url, anchor_text, n,
+                         CAST(sum(n) OVER (PARTITION BY target_url)
+                              AS BIGINT) AS n_links,
+                         CAST(count(*) OVER (PARTITION BY target_url)
+                              AS BIGINT) AS n_anchors,
+                         row_number() OVER (PARTITION BY target_url
+                             ORDER BY n DESC, anchor_text ASC) AS rn
+                  FROM a) WHERE rn = 1""",
+        "recrawl_diff": f"""
+            WITH o AS (SELECT url, status_code, word_count, title
+                       FROM read_parquet('{exp_pages}')
+                       WHERE seq <= {RECRAWL_CUTOFF}),
+            nw AS (SELECT url, status_code, word_count, title
+                   FROM read_parquet('{exp_pages}')),
+            m AS (SELECT COALESCE(o.url, nw.url) AS url,
+                         o.status_code AS so, nw.status_code AS sn,
+                         o.word_count AS wo, nw.word_count AS wn,
+                         o.title AS t_o, nw.title AS t_n
+                  FROM o FULL OUTER JOIN nw ON o.url = nw.url)
+            SELECT url,
+                   CASE WHEN so IS NULL THEN 'added'
+                        WHEN sn IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   CAST(COALESCE(so, -1) AS BIGINT) AS old_status,
+                   CAST(COALESCE(sn, -1) AS BIGINT) AS new_status
+            FROM m
+            WHERE so IS NULL OR sn IS NULL
+               OR so <> sn OR wo <> wn OR t_o <> t_n""",
         "issues": _ISSUE_RULES_SQL_TEMPLATE.format(exp_pages=exp_pages),
         "issues_duplication": (
             "SELECT url, type, category, issue, details FROM "
@@ -1447,6 +1515,20 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "top_terms": _TOP_TERMS_SQL,
         "top_terms_sketch": _TOP_TERMS_SQL,
         "bm25_topk": _BM25_SQL,
+        "doc_length_quantiles": textops.length_quantiles_sql(),
+        "inverted_index": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text),
+                                     '[a-z0-9]+')) AS term
+                       FROM documents),
+            p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+                  FROM t GROUP BY term, doc_id)
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS cf,
+                   string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                              CAST(tf AS VARCHAR), ',' ORDER BY doc_id)
+                       AS postings
+            FROM p GROUP BY term""",
         "doc_fingerprints": r"""
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

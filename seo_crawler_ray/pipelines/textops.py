@@ -1152,3 +1152,110 @@ def bm25_topk(docs_ds, query_terms: tuple[str, ...], k: int = 20,
     constants = {"n_docs": n_docs, "avgdl": avgdl, "idfs": idfs,
                  "k1": k1, "b": b, "kk": kk, "one_minus_b": one_minus_b}
     return ds, constants
+
+
+# --------------------------------------- exact distribution quantiles ----
+QUANTILE_QS = (25, 50, 75, 90, 99)
+
+
+def length_quantiles(docs_ds, qs: tuple[int, ...] = QUANTILE_QS,
+                     text_col: str = "text"):
+    """EXACT token-length quantiles of the corpus via a bounded histogram:
+    per-batch value counts (the combiner — one row per DISTINCT length in
+    the batch), a domain-sized groupby(length).sum, and an integer cumsum
+    on the driver. The driver state is O(distinct lengths) — bounded by
+    the max document length, never by corpus size — which is the 100 TB
+    shape for any integer-valued metric (status codes, depths, token
+    counts).
+
+    Quantile definition (mirrored integer-exactly in SQL): the q-th
+    percentile is the smallest value whose cumulative count reaches
+    ceil(q*n/100) = (q*n + 99) // 100. No float percentile semantics to
+    disagree over."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        lens = np.array([len(LOWER_WORD_RE.findall(t.lower()))
+                         for t in batch[text_col].to_pylist()],
+                        dtype=np.int64)
+        vals, cnts = np.unique(lens, return_counts=True)
+        return pa.table({"wc": pa.array(vals, pa.int64()),
+                         "cnt": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    hist = (docs_ds.select_columns([text_col])
+            .map_batches(counts, batch_format="pyarrow")
+            .groupby("wc").aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())                 # domain-sized: bounded reduce
+    hist = hist.sort_values("wc").reset_index(drop=True)
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy()
+    wcs = hist["wc"].to_numpy()
+    out_q, out_v = [], []
+    for q in qs:
+        thresh = (q * n + 99) // 100
+        out_q.append(int(q))
+        out_v.append(int(wcs[np.searchsorted(cum, thresh)]))
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array(out_q, pa.int64()),
+        "value": pa.array(out_v, pa.int64())}))
+
+
+def length_quantiles_sql(qs: tuple[int, ...] = QUANTILE_QS) -> str:
+    """Integer-exact SQL mirror of ``length_quantiles``."""
+    vals = ", ".join(f"({q})" for q in qs)
+    return f"""
+    WITH v AS (SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                      AS wc FROM documents),
+    nn AS (SELECT count(*) AS n FROM v),
+    c AS (SELECT wc, count(*) AS cnt FROM v GROUP BY wc),
+    cum AS (SELECT wc, sum(cnt) OVER (ORDER BY wc) AS cf FROM c)
+    SELECT CAST(q AS BIGINT) AS q, CAST(min(wc) AS BIGINT) AS value
+    FROM (VALUES {vals}) AS qs(q), cum, nn
+    WHERE cf >= (q * nn.n + 99) // 100
+    GROUP BY q"""
+
+
+# ------------------------------------------------------ inverted index ----
+def inverted_index(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                   n_buckets: int = 128):
+    """Postings-list construction: term -> (df, cf, 'doc:tf,...' sorted by
+    doc id). The per-batch combiner emits one (term, doc_id, tf) row per
+    distinct term per document — the postings themselves, which is the
+    irreducible shuffle for an index build. Terms are hash-bucketed before
+    the gather (groupby(term).map_groups would be one task per term), and
+    each bucket's pandas groupby assembles ~1/n_buckets of the vocabulary.
+
+    The list-assembly stage is the same exchange shape a 100 TB index
+    build needs: bucket files are independent, so the sink can write one
+    postings shard per bucket and a failed run redoes only missing
+    buckets."""
+    from .coshuffle import string_buckets
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids_out, terms_out, tfs_out = [], [], []
+        ids = batch[id_col].to_pylist()
+        for did, text in zip(ids, batch[text_col].to_pylist()):
+            from collections import Counter
+            ctr = Counter(LOWER_WORD_RE.findall(text.lower()))
+            ids_out.extend([did] * len(ctr))
+            terms_out.extend(ctr.keys())
+            tfs_out.extend(ctr.values())
+        tbl = pa.table({"term": pa.array(terms_out, pa.string()),
+                        id_col: pa.array(ids_out, pa.int64()),
+                        "tf": pa.array(tfs_out, pa.int64())})
+        return tbl.append_column(
+            "_bkt", pa.array(string_buckets(tbl["term"], n_buckets)))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", id_col])
+        rows = []
+        for term, grp in g.groupby("term", sort=False):
+            rows.append((term, len(grp), int(grp["tf"].sum()),
+                         ",".join(f"{d}:{t}" for d, t in
+                                  zip(grp[id_col], grp["tf"]))))
+        return pd.DataFrame(rows, columns=["term", "df", "cf", "postings"])
+
+    return (docs_ds.select_columns([id_col, text_col])
+            .map_batches(postings, batch_format="pyarrow")
+            .groupby("_bkt").map_groups(assemble, batch_format="pandas"))

@@ -622,3 +622,37 @@ def test_bm25_matches_brute_force(zipf_docs):
     want = rows[:15]
     assert list(zip(got["doc_id"], got["score_i4"])) == want
     assert consts["n_docs"] == n
+
+
+def test_length_quantiles_exact(zipf_docs):
+    """Histogram-combiner percentiles equal the brute-force definition."""
+    from seo_crawler_ray.pipelines.textops import length_quantiles
+    import re
+    got = length_quantiles(zipf_docs).to_pandas()
+    lens = sorted(len(re.findall(r"[a-z0-9]+", t.lower()))
+                  for t in zipf_docs.to_pandas()["text"])
+    n = len(lens)
+    for q, v in zip(got["q"], got["value"]):
+        thresh = (q * n + 99) // 100
+        assert v == lens[thresh - 1]
+
+
+def test_inverted_index_matches_bruteforce(zipf_docs):
+    from collections import Counter
+    import re
+    from seo_crawler_ray.pipelines.textops import inverted_index
+    got = inverted_index(zipf_docs).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    pdf = zipf_docs.to_pandas()
+    post = {}
+    for did, text in zip(pdf["doc_id"], pdf["text"]):
+        for term, tf in Counter(re.findall(r"[a-z0-9]+", text.lower())).items():
+            post.setdefault(term, []).append((did, tf))
+    rows = []
+    for term in sorted(post):
+        ps = sorted(post[term])
+        rows.append((term, len(ps), sum(t for _, t in ps),
+                     ",".join(f"{d}:{t}" for d, t in ps)))
+    want = pd.DataFrame(rows, columns=["term", "df", "cf", "postings"])
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
