@@ -286,7 +286,10 @@ def anchor_profiles(links_ds, n_buckets: int = 128):
             .select(["target_url", "anchor_text"]).to_pandas()
         part = df.groupby(["target_url", "anchor_text"], sort=False) \
             .size().reset_index(name="n")
-        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        # strip the pandas schema metadata: Ray's block dedup hashes
+        # schemas and the nested metadata dict is unhashable (warn spam)
+        tbl = pa.Table.from_pandas(part, preserve_index=False) \
+            .replace_schema_metadata(None)
         return tbl.append_column(
             "_bkt", pa.array(string_buckets(tbl["target_url"], n_buckets)))
 

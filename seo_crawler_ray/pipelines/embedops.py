@@ -338,3 +338,80 @@ def lsh_bucketed_topk(emb_ds, n_queries: int = 8, k: int = 10,
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
     ).to_pandas()
     return _reduce_topk(partials, k)
+
+
+# ------------------------------------------------------------- k-means ----
+def kmeans(emb_ds, k: int = 8, n_iter: int = 10):
+    """Distributed Lloyd's k-means over the embedding column — the
+    operator behind IVF coarse quantizers and embedding-space corpus
+    bucketing. The iteration is the canonical Ray Data shape: centroids
+    are a broadcast (k x d) matrix via ``ray.put``; each ``map_batches``
+    task assigns its batch with one matmul and emits a (k x d) partial
+    sum + k counts; the driver reduces k rows — so per-iteration exchange
+    is O(k*d*n_blocks), never O(n).
+
+    Determinism: init = the k vectors with the smallest vec_id; distance
+    ties (measure-zero on real data) break toward the lower cluster id
+    via argmin. Empty clusters keep their previous centroid. Returns
+    (assignments Dataset (vec_id, cluster), centroids ndarray,
+    inertia float).
+
+    No SQL oracle (iterative float fixpoint is not SQL-expressible);
+    pinned by tests/test_textops.py kmeans tests: clustered-fixture
+    parity vs a single-process numpy reference + invariants (partition
+    sizes, non-increasing inertia)."""
+    init_df = emb_ds.sort("vec_id").limit(k).to_pandas()
+    C = np.array(init_df["embedding"].tolist(), dtype=np.float64)
+
+    def partials(batch: pa.Table, cent_ref) -> pa.Table:
+        cent = ray.get(cent_ref)
+        E = _emb_matrix(batch)
+        # squared euclidean via the expansion trick; E-norms drop out of
+        # the argmin, so only the cross term + centroid norms are needed
+        d2 = -2.0 * (E @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        kk, dd = cent.shape
+        sums = np.zeros((kk, dd), dtype=np.float64)
+        np.add.at(sums, assign, E)
+        counts = np.bincount(assign, minlength=kk).astype(np.int64)
+        ssq = (E * E).sum(axis=1) + d2[np.arange(len(assign)), assign]
+        inert = np.zeros(kk, dtype=np.float64)
+        np.add.at(inert, assign, ssq)
+        return pa.table({
+            "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+            "count": pa.array(counts),
+            "inertia": pa.array(inert, pa.float64()),
+            "vecsum": pa.array(list(sums), pa.list_(pa.float64())),
+        })
+
+    inertia = float("inf")
+    for _ in range(n_iter):
+        cent_ref = ray.put(C)
+        pdf = emb_ds.select_columns(["embedding"]).map_batches(
+            partials, batch_format="pyarrow",
+            fn_kwargs={"cent_ref": cent_ref}).to_pandas()
+        agg = pdf.groupby("cluster")
+        counts = agg["count"].sum()
+        inertia = float(pdf["inertia"].sum())
+        newC = C.copy()
+        for c, grp in agg:
+            n = int(counts[c])
+            if n > 0:
+                newC[c] = np.sum(np.stack(grp["vecsum"].to_numpy()),
+                                 axis=0) / n
+        C = newC
+
+    cent_ref = ray.put(C)
+
+    def assign_batch(batch: pa.Table, cent_ref) -> pa.Table:
+        cent = ray.get(cent_ref)
+        E = _emb_matrix(batch)
+        d2 = -2.0 * (E @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+        })
+
+    out = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign_batch, batch_format="pyarrow", fn_kwargs={"cent_ref": cent_ref})
+    return out, C, inertia

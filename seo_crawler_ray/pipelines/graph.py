@@ -77,11 +77,15 @@ def _internal_edges(links_ds, pages_ds, n_buckets: int):
             _BUCKET: pa.array(string_buckets(batch["url"], n_buckets)),
         })
 
-    def semijoin_dedup(g: pd.DataFrame) -> pd.DataFrame:
+    def semijoin_dedup(g: pd.DataFrame) -> pa.Table:
         crawled = set(g.loc[g[_KIND] == 1, "dst"])
         e = g[g[_KIND] == 0]
         e = e[e["dst"].isin(crawled)]
-        return e[["src", "dst"]].drop_duplicates()
+        out = e[["src", "dst"]].drop_duplicates()
+        # return Arrow, not pandas: downstream groupbys over pandas
+        # OBJECT-dtype blocks sort ~14x slower than over Arrow blocks
+        return pa.table({"src": pa.array(out["src"], pa.string()),
+                         "dst": pa.array(out["dst"], pa.string())})
 
     links = links_ds.select_columns(["source_url", "target_url",
                                      "is_internal"]) \
@@ -225,34 +229,291 @@ def pagerank_sql(exp_pages: str, exp_links: str, n_iter: int = 5,
     """Unrolled-CTE DuckDB mirror of ``pagerank`` — integer-exact, so the
     driver value-hash matches. Generated, not handwritten, so the
     iteration count and constants stay in lockstep with the operator."""
+    # AS MATERIALIZED: each r{i} is referenced 3x per level (contribution
+    # join, dangling-sum subquery, carry-forward); DuckDB's default CTE
+    # inlining would re-expand the whole prefix 3^n_iter times.
     head = f"""
-    WITH nodes AS (SELECT url AS node FROM read_parquet('{exp_pages}')),
-    nn AS (SELECT count(*) AS n FROM nodes),
-    e0 AS (SELECT DISTINCT source_url AS src, target_url AS dst
-           FROM read_parquet('{exp_links}')
-           WHERE is_internal AND source_url <> target_url
-             AND target_url IN (SELECT node FROM nodes)),
-    odt AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e0 GROUP BY src),
-    nd AS (SELECT node, COALESCE(odt.od, 0) AS od
-           FROM nodes LEFT JOIN odt ON nodes.node = odt.src),
-    r0 AS (SELECT node, od,
-                  CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r
-           FROM nd)"""
+    WITH nodes AS MATERIALIZED (
+        SELECT url AS node FROM read_parquet('{exp_pages}')),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT source_url AS src, target_url AS dst
+        FROM read_parquet('{exp_links}')
+        WHERE is_internal AND source_url <> target_url
+          AND target_url IN (SELECT node FROM nodes)),
+    odt AS MATERIALIZED (
+        SELECT src, CAST(count(*) AS BIGINT) AS od FROM e0 GROUP BY src),
+    nd AS MATERIALIZED (
+        SELECT node, COALESCE(odt.od, 0) AS od
+        FROM nodes LEFT JOIN odt ON nodes.node = odt.src),
+    r0 AS MATERIALIZED (
+        SELECT node, od,
+               CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r
+        FROM nd)"""
     parts = [head]
     for i in range(n_iter):
         p, q = f"r{i}", f"r{i + 1}"
         parts.append(f""",
-    c{q} AS (SELECT e0.dst AS node,
-                    CAST(sum(({p}.r * {d_pct}) // (100 * {p}.od)) AS BIGINT)
-                        AS s
-             FROM e0 JOIN {p} ON e0.src = {p}.node GROUP BY e0.dst),
-    {q} AS (SELECT nd.node, nd.od,
-                   CAST(({scale} * {100 - d_pct}) //
-                        (100 * (SELECT n FROM nn))
-                     + (SELECT COALESCE(sum(r), 0) * {d_pct} FROM {p}
-                        WHERE od = 0) // (100 * (SELECT n FROM nn))
-                     + COALESCE(c{q}.s, 0) AS BIGINT) AS r
-            FROM nd LEFT JOIN c{q} ON nd.node = c{q}.node)""")
+    c{q} AS MATERIALIZED (
+        SELECT e0.dst AS node,
+               CAST(sum(({p}.r * {d_pct}) // (100 * {p}.od)) AS BIGINT) AS s
+        FROM e0 JOIN {p} ON e0.src = {p}.node GROUP BY e0.dst),
+    {q} AS MATERIALIZED (
+        SELECT nd.node, nd.od,
+               CAST(({scale} * {100 - d_pct}) //
+                    (100 * (SELECT n FROM nn))
+                 + (SELECT COALESCE(sum(r), 0) * {d_pct} FROM {p}
+                    WHERE od = 0) // (100 * (SELECT n FROM nn))
+                 + COALESCE(c{q}.s, 0) AS BIGINT) AS r
+        FROM nd LEFT JOIN c{q} ON nd.node = c{q}.node)""")
     parts.append(f"""
     SELECT node AS url, r AS pr FROM r{n_iter}""")
+    return "".join(parts)
+
+
+# ----------------------------------------------- degree distributions ----
+def degree_stats(pages_ds, links_ds, n_buckets: int = 64):
+    """In/out-degree DISTRIBUTION of the internal link graph (same edge
+    contract as ``pagerank``): (direction, degree, n_nodes) rows. The
+    per-node degree table never leaves the cluster — the driver reduce is
+    over DISTINCT degree values (power-law graphs have O(hundreds) of
+    them at any corpus size), the same bounded-histogram shape as
+    ``textops.length_quantiles``."""
+    from ray.data.aggregate import Sum
+    import ray.data
+
+    n_nodes = pages_ds.count()
+    tb = int(min(n_buckets, max(8, n_nodes // 50_000)))
+    edges = _internal_edges(links_ds, pages_ds, n_buckets) \
+        .repartition(tb).materialize()
+
+    def hist_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "degree": b["count()"].cast(pa.int64()),
+            "cnt": pa.array(np.ones(len(b), dtype=np.int64))})
+
+    outs = []
+    for direction, col in (("out", "src"), ("in", "dst")):
+        # materialize the per-node degrees once: .count() and the
+        # histogram below would otherwise each re-run the groupby shuffle
+        deg = edges.groupby(col).count().materialize()
+        nonzero = deg.count()
+        hist = (deg.map_batches(hist_rows, batch_format="pyarrow")
+                .groupby("degree").aggregate(Sum("cnt", alias_name="n_nodes"))
+                .to_pandas())            # distinct-degree-sized reduce
+        if n_nodes - nonzero > 0:
+            hist = pd.concat([hist, pd.DataFrame(
+                {"degree": [0], "n_nodes": [n_nodes - nonzero]})],
+                ignore_index=True)
+        hist.insert(0, "direction", direction)
+        outs.append(hist)
+    res = pd.concat(outs, ignore_index=True)
+    res["degree"] = res["degree"].astype("int64")
+    res["n_nodes"] = res["n_nodes"].astype("int64")
+    return ray.data.from_pandas(res)
+
+
+def degree_stats_sql(exp_pages: str, exp_links: str) -> str:
+    return f"""
+    WITH nodes AS (SELECT url AS node FROM read_parquet('{exp_pages}')),
+    e0 AS (SELECT DISTINCT source_url AS src, target_url AS dst
+           FROM read_parquet('{exp_links}')
+           WHERE is_internal AND source_url <> target_url
+             AND target_url IN (SELECT node FROM nodes)),
+    outd AS (SELECT n.node, COALESCE(o.d, 0) AS d FROM nodes n
+             LEFT JOIN (SELECT src, count(*) AS d FROM e0 GROUP BY src) o
+             ON n.node = o.src),
+    ind AS (SELECT n.node, COALESCE(i.d, 0) AS d FROM nodes n
+            LEFT JOIN (SELECT dst, count(*) AS d FROM e0 GROUP BY dst) i
+            ON n.node = i.dst)
+    SELECT 'out' AS direction, CAST(d AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes FROM outd GROUP BY d
+    UNION ALL
+    SELECT 'in' AS direction, CAST(d AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes FROM ind GROUP BY d"""
+
+
+# ------------------------------------------- weakly-connected components --
+BROADCAST_COMP_NODE_LIMIT = 200_000
+
+
+def link_components(pages_ds, links_ds, mode: str = "auto",
+                    n_buckets: int = 64, max_rounds: int = 24,
+                    broadcast_node_limit: int = BROADCAST_COMP_NODE_LIMIT):
+    """Weakly-connected components of the internal link graph: (url,
+    component) where component = the lexicographically smallest URL in
+    the component. Edge contract: DISTINCT internal pairs, self-loops
+    excluded, BOTH endpoints crawled (the oracle's label join enforces
+    the same implicitly).
+
+    mode='broadcast' (auto <= ``broadcast_node_limit`` nodes): driver
+    union-find over ids factorized against the SORTED url list, so
+    min-id == min-url. mode='propagate': distributed min-label
+    propagation on string labels — per round, labels flow across the
+    symmetrized edges via a node-hash bucketed co-shuffle and each node
+    keeps the min; fixpoint witnessed by an order-independent label hash
+    sum (labels are monotone non-increasing, so an unchanged sum is
+    convergence, same argument as ``textops.dedup_clusters``)."""
+    import ray.data
+    from .coshuffle import string_buckets
+
+    n_nodes = pages_ds.count()
+    if mode == "auto":
+        mode = ("broadcast" if n_nodes <= broadcast_node_limit
+                else "propagate")
+
+    if mode == "broadcast":
+        from .textops import _union_find_labels
+        urls = np.sort(pages_ds.select_columns(["url"])
+                       .to_pandas()["url"].to_numpy())
+        ln = links_ds.select_columns(
+            ["source_url", "target_url", "is_internal"]).to_pandas()
+        ln = ln[ln["is_internal"] & (ln["source_url"] != ln["target_url"])]
+        idx = pd.Series(np.arange(len(urls), dtype=np.int64), index=urls)
+        s = idx.reindex(ln["source_url"]).to_numpy()
+        d = idx.reindex(ln["target_url"]).to_numpy()
+        ok = ~(np.isnan(s) | np.isnan(d))
+        labels = _union_find_labels(s[ok].astype(np.int64),
+                                    d[ok].astype(np.int64))
+        comp = np.array([urls[labels.get(i, i)]
+                         for i in range(len(urls))], dtype=object)
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array(urls, pa.string()),
+            "component": pa.array(comp, pa.string())}))
+
+    # ---- distributed min-label propagation over string labels ----
+    edges = _internal_edges(links_ds, pages_ds, n_buckets)
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        src = b["src"].to_pylist()
+        dst = b["dst"].to_pylist()
+        node = src + dst
+        other = dst + src
+        arr = pa.array(node, pa.string())
+        return pa.table({
+            "node": arr, "other": pa.array(other, pa.string()),
+            "label": pa.nulls(len(node), pa.string()),
+            "kind": pa.array(np.zeros(len(node), dtype=np.int8)),
+            "bkt": pa.array(string_buckets(arr, n_buckets))})
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "node": b["url"], "other": pa.nulls(n, pa.string()),
+            "label": b["url"].cast(pa.string()),
+            "kind": pa.array(np.ones(n, dtype=np.int8)),
+            "bkt": pa.array(string_buckets(b["url"], n_buckets))})
+
+    tb = int(min(n_buckets, max(8, n_nodes // 50_000)))
+    labels = pages_ds.select_columns(["url"]) \
+        .map_batches(init_labels, batch_format="pyarrow") \
+        .repartition(tb).materialize()
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["kind"] == 1]
+        edge = g[g["kind"] == 0]
+        m = edge.merge(lab[["node", "label"]].rename(
+            columns={"label": "lab"}), on="node", how="inner")
+        out = pd.DataFrame({"node": m["other"], "label": m["lab"]})
+        out["other"] = None
+        out["kind"] = np.int8(1)
+        return out[["node", "other", "label", "kind"]]
+
+    def retag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bkt", pa.array(string_buckets(b["node"], n_buckets)))
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        # nodes are the rows that arrived with a self-label in round 0;
+        # messages to uncrawled endpoints have no such row and are dropped
+        own = g[g["own"] == 1]
+        mins = g.groupby("node", sort=False)["label"].min()
+        out = own[["node"]].copy()
+        out["label"] = mins.reindex(out["node"]).to_numpy()
+        return out
+
+    def hash_partial(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(b["label"].to_pylist(),
+                                          dtype=object))
+        return pa.table({"h": pa.array([int(h.sum() % (1 << 63))],
+                                       pa.int64())})
+
+    prev = labels.map_batches(hash_partial, batch_format="pyarrow").sum("h")
+    for _ in range(max_rounds):
+        msgs = (labels.union(sym)
+                .groupby("bkt").map_groups(send, batch_format="pandas")
+                .map_batches(retag, batch_format="pyarrow"))
+
+        def mark(b: pa.Table, own: int) -> pa.Table:
+            return pa.table({
+                "node": b["node"], "label": b["label"],
+                "own": pa.array(np.full(len(b), own, dtype=np.int8)),
+                "bkt": b["bkt"]})
+
+        new_labels = (labels.map_batches(mark, batch_format="pyarrow",
+                                         fn_kwargs={"own": 1})
+                      .union(msgs.map_batches(mark, batch_format="pyarrow",
+                                              fn_kwargs={"own": 0}))
+                      .groupby("bkt").map_groups(take_min,
+                                                 batch_format="pandas")
+                      .map_batches(
+                          lambda b: pa.table({
+                              "node": b["node"],
+                              "other": pa.nulls(len(b), pa.string()),
+                              "label": b["label"],
+                              "kind": pa.array(np.ones(len(b),
+                                                       dtype=np.int8)),
+                              "bkt": pa.array(string_buckets(
+                                  b["node"], n_buckets))}),
+                          batch_format="pyarrow")
+                      .repartition(tb).materialize())
+        cur = new_labels.map_batches(hash_partial,
+                                     batch_format="pyarrow").sum("h")
+        labels = new_labels
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda b: pa.table({"url": b["node"], "component": b["label"]}),
+        batch_format="pyarrow")
+
+
+def link_components_sql(exp_pages: str, exp_links: str,
+                        n_rounds: int = 24) -> str:
+    """Unrolled min-label-propagation mirror of ``link_components`` —
+    exact when the graph's diameter is under ``n_rounds`` (the operator
+    runs to its fixpoint; a diameter beyond the unroll would surface as a
+    driver hash mismatch, not silent error)."""
+    # AS MATERIALIZED everywhere: DuckDB inlines CTEs by default, and the
+    # unrolled chain references each l{i} twice (the message join and the
+    # carry-forward), so an inlined plan re-expands the whole prefix per
+    # level — 2^n_rounds scans of the parquet inputs. Materialization
+    # makes each level O(E) once.
+    head = f"""
+    WITH nodes AS MATERIALIZED (
+        SELECT url AS node FROM read_parquet('{exp_pages}')),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT source_url AS src, target_url AS dst
+        FROM read_parquet('{exp_links}')
+        WHERE is_internal AND source_url <> target_url
+          AND source_url IN (SELECT node FROM nodes)
+          AND target_url IN (SELECT node FROM nodes)),
+    ue AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0
+                        UNION SELECT dst, src FROM e0),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""
+    parts = [head]
+    for i in range(n_rounds):
+        p, q = f"l{i}", f"l{i + 1}"
+        parts.append(f""",
+    m{q} AS MATERIALIZED (
+        SELECT ue.b AS node, min(l.label) AS ml
+        FROM ue JOIN {p} l ON ue.a = l.node GROUP BY ue.b),
+    {q} AS MATERIALIZED (
+        SELECT l.node, least(l.label, COALESCE(m.ml, l.label)) AS label
+        FROM {p} l LEFT JOIN m{q} m ON l.node = m.node)""")
+    parts.append(f"""
+    SELECT node AS url, label AS component FROM l{n_rounds}""")
     return "".join(parts)

@@ -29,6 +29,8 @@ import ray.data
 from ..functions.urls import canonicalize
 from ..sources.cache import DUP_SUBSET, corpus_dir, crawl_dir, flagship_config
 from . import analysis, arrowutil, embedops, events, textops
+from .graph import degree_stats_sql as _degree_stats_sql
+from .graph import link_components_sql as _link_components_sql
 from .graph import pagerank_sql as _pagerank_sql
 
 SF01 = "/root/testdata/sf0.01"
@@ -184,6 +186,18 @@ def q_pagerank(sf_dir: str):
     DuckDB oracle value-hash-matches exactly."""
     from .graph import pagerank
     return pagerank(_pages_ds(sf_dir), _links_ds(sf_dir), n_iter=5)
+
+
+def q_degree_stats(sf_dir: str):
+    """In/out degree distribution of the internal link graph."""
+    from .graph import degree_stats
+    return degree_stats(_pages_ds(sf_dir), _links_ds(sf_dir))
+
+
+def q_link_components(sf_dir: str):
+    """Weakly-connected components; component id = min URL."""
+    from .graph import link_components
+    return link_components(_pages_ds(sf_dir), _links_ds(sf_dir))
 
 
 def q_anchor_profiles(sf_dir: str):
@@ -612,6 +626,16 @@ def q_embedding_dup_pairs_lsh(sf_dir: str):
     return embedops.embedding_dup_pairs_lsh(_emb_ds(sf_dir), tau=0.35)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means assignments over the embedding table
+    (broadcast centroids, per-batch partial sums — O(k*d) exchange per
+    iteration). No SQL oracle (iterative float fixpoint); parity with a
+    single-process numpy reference and convergence invariants are pinned
+    by tests/test_textops.py."""
+    out, _, _ = embedops.kmeans(_emb_ds(sf_dir), k=8, n_iter=10)
+    return out
+
+
 def q_langid(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(textops.langid_batch, batch_format="pyarrow")
 
@@ -932,6 +956,8 @@ def queries() -> dict:
         "status_counts": q_status_counts,
         "crawl_stats": q_crawl_stats,
         "pagerank": q_pagerank,
+        "degree_stats": q_degree_stats,
+        "link_components": q_link_components,
         "eeat_scores": q_eeat_scores,
         # pure extraction (vs generator truth)
         "extract_pages": q_extract_pages,
@@ -964,6 +990,7 @@ def queries() -> dict:
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
+        "kmeans_clusters": q_kmeans_clusters,
         "langid": q_langid,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -1204,6 +1231,8 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                    string_agg(source_url, '|' ORDER BY source_seq) AS linked_from_joined
             FROM read_parquet('{exp_links}') GROUP BY target_url""",
         "pagerank": _pagerank_sql(exp_pages, exp_links, n_iter=5),
+        "degree_stats": _degree_stats_sql(exp_pages, exp_links),
+        "link_components": _link_components_sql(exp_pages, exp_links),
         "anchor_profiles": f"""
             WITH a AS (SELECT target_url, anchor_text,
                               CAST(count(*) AS BIGINT) AS n

@@ -94,3 +94,79 @@ def test_pagerank_sql_matches_operator(link_graph, tmp_path):
     merged = got.merge(oracle, on="url", suffixes=("", "_sql"))
     assert len(merged) == len(nodes)
     assert (merged["pr"] == merged["pr_sql"]).all()
+
+
+def test_degree_stats_matches_pandas(link_graph):
+    from seo_crawler_ray.pipelines.graph import degree_stats
+    pages_ds, links_ds, nodes, rows = link_graph
+    got = degree_stats(pages_ds, links_ds).to_pandas() \
+        .sort_values(["direction", "degree"]).reset_index(drop=True)
+
+    node_set = set(nodes)
+    edges = sorted({(s, t) for s, t, internal in rows
+                    if internal and s != t and t in node_set})
+    import collections
+    outd = collections.Counter(s for s, _ in edges)
+    ind = collections.Counter(t for _, t in edges)
+    want_rows = []
+    for direction, cnt in (("out", outd), ("in", ind)):
+        degs = collections.Counter(cnt.get(n, 0) for n in nodes)
+        # nodes outside `nodes` never appear; degree-0 from the complement
+        for d, k in sorted(degs.items()):
+            want_rows.append((direction, d, k))
+    want = pd.DataFrame(want_rows, columns=["direction", "degree", "n_nodes"]) \
+        .sort_values(["direction", "degree"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _ref_components(nodes, edges):
+    import collections
+    adj = collections.defaultdict(set)
+    node_set = set(nodes)
+    for s, t in edges:
+        if s != t and s in node_set and t in node_set:
+            adj[s].add(t)
+            adj[t].add(s)
+    comp = {}
+    for n in nodes:
+        if n in comp:
+            continue
+        stack, seen = [n], {n}
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        rep = min(seen)
+        for x in seen:
+            comp[x] = rep
+    return comp
+
+
+def test_link_components_broadcast_and_propagate(link_graph):
+    from seo_crawler_ray.pipelines.graph import link_components
+    pages_ds, links_ds, nodes, rows = link_graph
+    want = _ref_components(
+        nodes, [(s, t) for s, t, internal in rows if internal])
+    for mode in ("broadcast", "propagate"):
+        got = link_components(pages_ds, links_ds, mode=mode,
+                              n_buckets=16).to_pandas()
+        assert dict(zip(got["url"], got["component"])) == want, mode
+
+
+def test_link_components_sql_matches_operator(link_graph, tmp_path):
+    import duckdb
+    from seo_crawler_ray.pipelines.graph import (link_components,
+                                                 link_components_sql)
+    pages_ds, links_ds, nodes, rows = link_graph
+    pd.DataFrame({"url": nodes}).to_parquet(tmp_path / "pages.parquet")
+    pd.DataFrame(rows, columns=["source_url", "target_url", "is_internal"]) \
+        .to_parquet(tmp_path / "links.parquet")
+    sql = link_components_sql(str(tmp_path / "pages.parquet"),
+                              str(tmp_path / "links.parquet"))
+    oracle = duckdb.sql(sql).df()
+    got = link_components(pages_ds, links_ds).to_pandas()
+    merged = got.merge(oracle, on="url", suffixes=("", "_sql"))
+    assert len(merged) == len(nodes)
+    assert (merged["component"] == merged["component_sql"]).all()

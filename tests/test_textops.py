@@ -656,3 +656,54 @@ def test_inverted_index_matches_bruteforce(zipf_docs):
     want = pd.DataFrame(rows, columns=["term", "df", "cf", "postings"])
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
+
+
+# ---------------------------------------------------------------- kmeans --
+def test_kmeans_matches_numpy_reference(ray_session):
+    """On well-separated clusters the distributed partial-sum iteration
+    must land on the same assignment as a single-process Lloyd reference
+    with the identical deterministic init (first k vectors by id)."""
+    import ray.data
+    from seo_crawler_ray.pipelines.embedops import kmeans
+    rng = np.random.RandomState(9)
+    k, d = 5, 16
+    centers = rng.normal(size=(k, d)) * 10          # far apart vs noise 0.2
+    E = np.vstack([centers[i % k] + rng.normal(size=d) * 0.2
+                   for i in range(300)]).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(300),
+                       "embedding": [list(e) for e in E],
+                       "label": [0] * 300})
+    ds = ray.data.from_pandas(df).repartition(6)
+    out, C, inertia = kmeans(ds, k=k, n_iter=8)
+    got = out.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+
+    X = E.astype(np.float64)
+    Cr = X[:k].copy()
+    for _ in range(8):
+        d2 = ((X[:, None, :] - Cr[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                Cr[c] = X[a == c].mean(axis=0)
+    d2 = ((X[:, None, :] - Cr[None, :, :]) ** 2).sum(axis=2)
+    want = np.argmin(d2, axis=1)
+    assert (got == want).all()
+    sizes = np.bincount(got, minlength=k)
+    assert sizes.sum() == 300 and (sizes > 0).all()
+    assert np.isfinite(inertia) and inertia > 0
+
+
+def test_kmeans_inertia_non_increasing(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.embedops import kmeans
+    rng = np.random.RandomState(21)
+    E = rng.normal(size=(200, 8)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(200),
+                       "embedding": [list(e) for e in E],
+                       "label": [0] * 200})
+    ds = ray.data.from_pandas(df).repartition(4)
+    prev = float("inf")
+    for it in (1, 3, 6):
+        _, _, inertia = kmeans(ds, k=4, n_iter=it)
+        assert inertia <= prev + 1e-6
+        prev = inertia
