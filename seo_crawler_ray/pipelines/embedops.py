@@ -360,7 +360,17 @@ def kmeans(emb_ds, k: int = 8, n_iter: int = 10):
     pinned by tests/test_textops.py kmeans tests: clustered-fixture
     parity vs a single-process numpy reference + invariants (partition
     sizes, non-increasing inertia)."""
-    init_df = emb_ds.sort("vec_id").limit(k).to_pandas()
+    # deterministic init: the k vectors with the smallest vec_id — as a
+    # per-batch bottom-k + tiny driver reduce, NOT sort().limit(k) (a
+    # full-table sort for k rows)
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        take = np.argsort(ids)[:k]
+        return batch.take(pa.array(take))
+
+    init_df = emb_ds.select_columns(["vec_id", "embedding"]) \
+        .map_batches(bottom_k, batch_format="pyarrow").to_pandas() \
+        .sort_values("vec_id").head(k)
     C = np.array(init_df["embedding"].tolist(), dtype=np.float64)
 
     def partials(batch: pa.Table, cent_ref) -> pa.Table:

@@ -1189,6 +1189,9 @@ def length_quantiles(docs_ds, qs: tuple[int, ...] = QUANTILE_QS,
             .to_pandas())                 # domain-sized: bounded reduce
     hist = hist.sort_values("wc").reset_index(drop=True)
     n = int(hist["cnt"].sum())
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "q": pa.array([], pa.int64()), "value": pa.array([], pa.int64())}))
     cum = hist["cnt"].cumsum().to_numpy()
     wcs = hist["wc"].to_numpy()
     out_q, out_v = [], []
