@@ -344,10 +344,16 @@ def recrawl_diff(old_pages_ds, new_pages_ds, n_buckets: int = 128):
         m = old.merge(new, on="url", how="outer", suffixes=("_o", "_n"))
         in_old = m["status_code_o"].notna()
         in_new = m["status_code_n"].notna()
+
+        def differs(col: str) -> pd.Series:
+            # SQL <> semantics: a comparison involving NULL is not a
+            # change (pandas NaN != NaN would say True)
+            a, b = m[f"{col}_o"], m[f"{col}_n"]
+            return a.notna() & b.notna() & (a != b)
+
         changed = in_old & in_new & (
-            (m["status_code_o"] != m["status_code_n"])
-            | (m["word_count_o"] != m["word_count_n"])
-            | (m["title_o"] != m["title_n"]))
+            differs("status_code") | differs("word_count")
+            | differs("title"))
         out = pd.DataFrame({
             "url": m["url"],
             "change": np.where(~in_old, "added",

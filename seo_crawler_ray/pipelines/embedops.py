@@ -394,7 +394,6 @@ def kmeans(emb_ds, k: int = 8, n_iter: int = 10):
             "vecsum": pa.array(list(sums), pa.list_(pa.float64())),
         })
 
-    inertia = float("inf")
     for _ in range(n_iter):
         cent_ref = ray.put(C)
         pdf = emb_ds.select_columns(["embedding"]).map_batches(
@@ -402,7 +401,6 @@ def kmeans(emb_ds, k: int = 8, n_iter: int = 10):
             fn_kwargs={"cent_ref": cent_ref}).to_pandas()
         agg = pdf.groupby("cluster")
         counts = agg["count"].sum()
-        inertia = float(pdf["inertia"].sum())
         newC = C.copy()
         for c, grp in agg:
             n = int(counts[c])
@@ -412,6 +410,12 @@ def kmeans(emb_ds, k: int = 8, n_iter: int = 10):
         C = newC
 
     cent_ref = ray.put(C)
+    # one final E-step stats pass so the returned inertia is measured
+    # against the RETURNED centroids/assignments (the in-loop partials
+    # measure against the pre-update centroids — off by one M-step)
+    inertia = float(emb_ds.select_columns(["embedding"]).map_batches(
+        partials, batch_format="pyarrow",
+        fn_kwargs={"cent_ref": cent_ref}).to_pandas()["inertia"].sum())
 
     def assign_batch(batch: pa.Table, cent_ref) -> pa.Table:
         cent = ray.get(cent_ref)

@@ -61,9 +61,12 @@ def _internal_edges(links_ds, pages_ds, n_buckets: int):
                        pc.invert(pc.equal(batch["source_url"],
                                           batch["target_url"])))
         batch = batch.filter(keep)
+        # normalize to small string: crawl parquet urls are large_string,
+        # test fixtures are string — a union over mixed widths triggers
+        # Ray's schema-divergence warning on every execution
         return pa.table({
-            "src": batch["source_url"],
-            "dst": batch["target_url"],
+            "src": batch["source_url"].cast(pa.string()),
+            "dst": batch["target_url"].cast(pa.string()),
             _KIND: pa.array(np.zeros(len(batch), dtype=np.int8)),
             _BUCKET: pa.array(string_buckets(batch["target_url"], n_buckets)),
         })
@@ -72,7 +75,7 @@ def _internal_edges(links_ds, pages_ds, n_buckets: int):
         n = len(batch)
         return pa.table({
             "src": pa.nulls(n, pa.string()),
-            "dst": batch["url"],
+            "dst": batch["url"].cast(pa.string()),
             _KIND: pa.array(np.ones(n, dtype=np.int8)),
             _BUCKET: pa.array(string_buckets(batch["url"], n_buckets)),
         })
@@ -146,9 +149,13 @@ def pagerank(pages_ds, links_ds, n_iter: int = 5, d_pct: int = 85,
     broadcast/distributed auto-switch."""
     from ray.data.aggregate import Sum
 
+    import ray.data
+
     n_nodes = pages_ds.count()
     if not n_nodes:
-        return pages_ds.select_columns(["url"])
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "pr": pa.array([], pa.int64())}))
     if mode == "auto":
         mode = ("broadcast" if n_nodes <= broadcast_node_limit
                 else "distributed")
@@ -162,11 +169,13 @@ def pagerank(pages_ds, links_ds, n_iter: int = 5, d_pct: int = 85,
     edges = _internal_edges(links_ds, pages_ds, n_buckets) \
         .repartition(tb).materialize()
 
-    # .count() yields column "count()"; normalize to (node, od)
+    # .count() yields column "count()"; normalize to (node, od).
+    # Materialized: it feeds TWO attaches below — lazy, each would re-run
+    # the groupby shuffle.
     od = edges.groupby("src").count().map_batches(
         lambda b: pa.table({"node": b["src"],
                             "od": b["count()"].cast(pa.int64())}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     node_od = bucketed_left_attach(
         pages_ds.select_columns(["url"]).map_batches(
@@ -200,6 +209,11 @@ def pagerank(pages_ds, links_ds, n_iter: int = 5, d_pct: int = 85,
                                       n_buckets=n_buckets)
 
         def contrib(batch: pa.Table) -> pa.Table:
+            # drop edges whose source is not a crawled node (r_src null):
+            # the broadcast path and the oracle's inner join on ranks
+            # exclude them identically; without the filter the null
+            # becomes NaN and the int64 cast raises
+            batch = batch.filter(pc.is_valid(batch["r_src"]))
             r = batch["r_src"].to_numpy(zero_copy_only=False)
             o = batch["od"].to_numpy(zero_copy_only=False)
             c = (r * d_pct) // (100 * o)      # od >= 1 by construction
@@ -292,11 +306,45 @@ def degree_stats(pages_ds, links_ds, n_buckets: int = 64):
             "degree": b["count()"].cast(pa.int64()),
             "cnt": pa.array(np.ones(len(b), dtype=np.int64))})
 
+    def semijoin_src_nodes(deg_ds):
+        """Drop degree rows whose src is not a crawled node (edges only
+        guarantee dst membership; the oracle's nodes LEFT JOIN excludes
+        foreign sources from the out histogram)."""
+
+        def tag_deg(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "src": b["src"],
+                "count()": b["count()"].cast(pa.int64()),
+                _KIND: pa.array(np.zeros(len(b), dtype=np.int8)),
+                _BUCKET: pa.array(string_buckets(b["src"], n_buckets))})
+
+        def tag_n(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return pa.table({
+                "src": b["url"].cast(pa.string()),
+                "count()": pa.nulls(n, pa.int64()),
+                _KIND: pa.array(np.ones(n, dtype=np.int8)),
+                _BUCKET: pa.array(string_buckets(b["url"], n_buckets))})
+
+        def keep(g: pd.DataFrame) -> pa.Table:
+            members = set(g.loc[g[_KIND] == 1, "src"])
+            d = g[(g[_KIND] == 0) & g["src"].isin(members)]
+            return pa.table({"src": pa.array(d["src"], pa.string()),
+                             "count()": pa.array(d["count()"], pa.int64())})
+
+        return (deg_ds.map_batches(tag_deg, batch_format="pyarrow")
+                .union(pages_ds.select_columns(["url"])
+                       .map_batches(tag_n, batch_format="pyarrow"))
+                .groupby(_BUCKET).map_groups(keep, batch_format="pandas"))
+
     outs = []
     for direction, col in (("out", "src"), ("in", "dst")):
         # materialize the per-node degrees once: .count() and the
         # histogram below would otherwise each re-run the groupby shuffle
-        deg = edges.groupby(col).count().materialize()
+        deg = edges.groupby(col).count()
+        if direction == "out":
+            deg = semijoin_src_nodes(deg)
+        deg = deg.materialize()
         nonzero = deg.count()
         hist = (deg.map_batches(hist_rows, batch_format="pyarrow")
                 .groupby("degree").aggregate(Sum("cnt", alias_name="n_nodes"))
@@ -401,7 +449,8 @@ def link_components(pages_ds, links_ds, mode: str = "auto",
     def init_labels(b: pa.Table) -> pa.Table:
         n = len(b)
         return pa.table({
-            "node": b["url"], "other": pa.nulls(n, pa.string()),
+            "node": b["url"].cast(pa.string()),
+            "other": pa.nulls(n, pa.string()),
             "label": b["url"].cast(pa.string()),
             "kind": pa.array(np.ones(n, dtype=np.int8)),
             "bkt": pa.array(string_buckets(b["url"], n_buckets))})

@@ -1236,10 +1236,10 @@ def inverted_index(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     from .coshuffle import string_buckets
 
     def postings(batch: pa.Table) -> pa.Table:
+        from collections import Counter
         ids_out, terms_out, tfs_out = [], [], []
         ids = batch[id_col].to_pylist()
         for did, text in zip(ids, batch[text_col].to_pylist()):
-            from collections import Counter
             ctr = Counter(LOWER_WORD_RE.findall(text.lower()))
             ids_out.extend([did] * len(ctr))
             terms_out.extend(ctr.keys())

@@ -51,16 +51,18 @@ def test_recrawl_diff_all_change_types(ray_session):
     import ray.data
     from seo_crawler_ray.pipelines.analysis import recrawl_diff
     old = pd.DataFrame({
-        "url": ["u/a", "u/b", "u/c", "u/d"],
-        "status_code": [200, 200, 404, 200],
-        "word_count": [10, 20, 0, 30],
-        "title": ["A", "B", "", "D"],
+        "url": ["u/a", "u/b", "u/c", "u/d", "u/f", "u/g"],
+        "status_code": [200, 200, 404, 200, 200, 200],
+        "word_count": [10, 20, 0, 30, 1, 2],
+        "title": ["A", "B", "", "D", None, None],
     })
     new = pd.DataFrame({
-        "url": ["u/a", "u/b", "u/d", "u/e"],
-        "status_code": [200, 500, 200, 200],   # b: status change
-        "word_count": [10, 20, 31, 5],         # d: word-count change
-        "title": ["A", "B", "D", "E"],         # a: unchanged; e: added
+        "url": ["u/a", "u/b", "u/d", "u/e", "u/f", "u/g"],
+        "status_code": [200, 500, 200, 200, 200, 200],  # b: status change
+        "word_count": [10, 20, 31, 5, 1, 2],            # d: wc change
+        # a: unchanged; e: added; f: null title BOTH sides -> unchanged;
+        # g: null vs value -> NOT a change under SQL <> null semantics
+        "title": ["A", "B", "D", "E", None, "G"],
     })
     got = recrawl_diff(ray.data.from_pandas(old).repartition(3),
                        ray.data.from_pandas(new).repartition(2)) \

@@ -8,9 +8,12 @@ import pytest
 
 
 def _ref_pagerank(nodes, edges, n_iter=5, d_pct=85, scale=10 ** 12):
-    """Straight-line reference of graph.pagerank's integer contract."""
+    """Straight-line reference of graph.pagerank's integer contract.
+    Edges whose source is not a crawled node contribute nothing (the
+    oracle's inner join on ranks drops them)."""
+    node_set = set(nodes)
     edges = sorted({(s, t) for s, t in edges
-                    if s != t and t in set(nodes)})
+                    if s != t and s in node_set and t in node_set})
     od = {}
     for s, _ in edges:
         od[s] = od.get(s, 0) + 1
@@ -38,11 +41,15 @@ def link_graph(ray_session):
         t = nodes[rng.randint(80)]
         rows.append((s, t, True))
     # noise the operator must ignore: external links, self-loops,
-    # duplicate pairs, links to uncrawled targets
+    # duplicate pairs, links to uncrawled targets, links FROM an
+    # uncrawled source (regression: the distributed pagerank path used to
+    # crash on the null rank attach; degree_stats/out counted the foreign
+    # source as a node)
     rows += [(nodes[0], "https://other.com/x", False),
              (nodes[1], nodes[1], True),
              (nodes[2], nodes[3], True), (nodes[2], nodes[3], True),
-             (nodes[4], "https://ex.com/uncrawled", True)]
+             (nodes[4], "https://ex.com/uncrawled", True),
+             ("https://ex.com/foreign_src", nodes[5], True)]
     links = pd.DataFrame(rows, columns=["source_url", "target_url",
                                         "is_internal"])
     pages = pd.DataFrame({"url": nodes})
