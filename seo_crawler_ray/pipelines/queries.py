@@ -679,6 +679,29 @@ def q_bm25_topk(sf_dir: str):
     return ds
 
 
+def q_redact_pii(sf_dir: str):
+    """Per-doc PII redaction counts + redacted-text md5. The synthetic
+    corpus is PII-free (all-zero counts; md5 pins the no-op path); planted
+    emails/phones/IPs are exercised by tests/test_textops.py."""
+    return _docs_ds(sf_dir).map_batches(textops.redact_pii_batch,
+                                        batch_format="pyarrow")
+
+
+def q_doc_chunks(sf_dir: str):
+    """Sliding-window token chunking (64-token chunks, stride 48)."""
+    return textops.doc_chunks(_docs_ds(sf_dir))
+
+
+_CONTAMINATION_PROBES = ("spark", "window data", "slow merge",
+                         "quantum entanglement")
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark-contamination screen over fixed probe strings."""
+    return textops.contamination_probes(_docs_ds(sf_dir),
+                                        _CONTAMINATION_PROBES)
+
+
 def q_doc_length_quantiles(sf_dir: str):
     """Exact integer percentiles of document token length via the bounded
     histogram combiner."""
@@ -999,6 +1022,9 @@ def queries() -> dict:
         "bm25_topk": q_bm25_topk,
         "doc_length_quantiles": q_doc_length_quantiles,
         "inverted_index": q_inverted_index,
+        "redact_pii": q_redact_pii,
+        "doc_chunks": q_doc_chunks,
+        "contamination": q_contamination,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_winnow": q_doc_winnow,
         "repetition_stats": q_repetition_stats,
@@ -1545,6 +1571,10 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "top_terms_sketch": _TOP_TERMS_SQL,
         "bm25_topk": _BM25_SQL,
         "doc_length_quantiles": textops.length_quantiles_sql(),
+        "redact_pii": textops.redact_pii_sql(),
+        "doc_chunks": textops.doc_chunks_sql(),
+        "contamination": textops.contamination_probes_sql(
+            _CONTAMINATION_PROBES),
         "inverted_index": r"""
             WITH t AS (SELECT doc_id,
                               unnest(regexp_extract_all(lower(text),

@@ -1262,3 +1262,140 @@ def inverted_index(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     return (docs_ds.select_columns([id_col, text_col])
             .map_batches(postings, batch_format="pyarrow")
             .groupby("_bkt").map_groups(assemble, batch_format="pandas"))
+
+
+# --------------------------------------------------------- PII scrubbing --
+# Simple, RE2-compatible patterns (no backrefs/lookarounds) so the DuckDB
+# oracle's regexp_replace chain is semantics-identical to Python re:
+# leftmost non-overlapping, applied to the lowered text, in a fixed
+# email -> phone -> ipv4 order on both sides.
+EMAIL_RE = re.compile(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")
+PHONE_RE = re.compile(r"\b\d{3}[-.]\d{3}[-.]\d{4}\b")
+IPV4_RE = re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b")
+_PII_SQL_PATTERNS = (
+    (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii_batch(batch: pa.Table, id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """Per-doc PII counts + md5 of the redacted text. The md5 pins the
+    full replacement behavior against the oracle, not just the counts."""
+    ids, ne, np_, ni, digests = [], [], [], [], []
+    for did, t in zip(batch[id_col].to_pylist(),
+                      batch[text_col].to_pylist()):
+        t = t.lower()
+        ne.append(len(EMAIL_RE.findall(t)))
+        t = EMAIL_RE.sub("<EMAIL>", t)
+        np_.append(len(PHONE_RE.findall(t)))
+        t = PHONE_RE.sub("<PHONE>", t)
+        ni.append(len(IPV4_RE.findall(t)))
+        t = IPV4_RE.sub("<IP>", t)
+        ids.append(did)
+        digests.append(md5_hex(t))
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     "n_emails": pa.array(ne, pa.int64()),
+                     "n_phones": pa.array(np_, pa.int64()),
+                     "n_ips": pa.array(ni, pa.int64()),
+                     "redacted_md5": pa.array(digests, pa.string())})
+
+
+def redact_pii_sql() -> str:
+    (e_pat, e_rep), (p_pat, p_rep), (i_pat, i_rep) = _PII_SQL_PATTERNS
+    # counts measured on the same intermediate the Python side uses:
+    # emails on raw lower, phones after email removal, ips after both
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t0, '{e_pat}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t1, '{p_pat}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(t2, '{i_pat}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(t2, '{i_pat}', '{i_rep}', 'g'))
+               AS redacted_md5
+    FROM (SELECT doc_id, t0, t1,
+                 regexp_replace(t1, '{p_pat}', '{p_rep}', 'g') AS t2
+          FROM (SELECT doc_id, t0,
+                       regexp_replace(t0, '{e_pat}', '{e_rep}', 'g') AS t1
+                FROM (SELECT doc_id, lower(text) AS t0 FROM documents)))"""
+
+
+# ------------------------------------------------------- text chunking ----
+def doc_chunks(docs_ds, chunk: int = 64, stride: int = 48,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """Sliding-window token chunking (the doc -> training-chunk explode):
+    tokens = the standard [a-z0-9]+ stream over the lowered text, chunk
+    starts at 0, stride, 2*stride, ... while start < n_tokens; chunk text
+    is the single-space join of its tokens (deterministic on both sides —
+    original whitespace is not reconstructable from a token stream).
+    A pure flat-map: no shuffle, output rows ~ n_tokens/stride per doc."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, cids, ntoks, texts = [], [], [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            w = LOWER_WORD_RE.findall(t.lower())
+            for ci, start in enumerate(range(0, max(len(w), 1), stride)):
+                if start >= len(w):
+                    break
+                piece = w[start:start + chunk]
+                ids.append(did)
+                cids.append(ci)
+                ntoks.append(len(piece))
+                texts.append(" ".join(piece))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "chunk_id": pa.array(cids, pa.int64()),
+                         "n_tokens": pa.array(ntoks, pa.int64()),
+                         "chunk_text": pa.array(texts, pa.string())})
+
+    return docs_ds.select_columns([id_col, text_col]) \
+        .map_batches(explode, batch_format="pyarrow")
+
+
+def doc_chunks_sql(chunk: int = 64, stride: int = 48) -> str:
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+               FROM documents),
+    s AS (SELECT doc_id, w,
+                 unnest(range(0, greatest(len(w), 1), {stride})) AS start
+          FROM t)
+    SELECT doc_id, CAST(start // {stride} AS BIGINT) AS chunk_id,
+           CAST(least({chunk}, len(w) - start) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(w, start + 1,
+                                      least(start + {chunk}, len(w))), ' ')
+               AS chunk_text
+    FROM s WHERE start < len(w)"""
+
+
+# ------------------------------------------- benchmark contamination ------
+def contamination_probes(docs_ds, probes: tuple[str, ...],
+                         text_col: str = "text"):
+    """Benchmark-contamination screen: for each probe string, how many
+    documents contain it as a (lowercased) substring. The probe set is a
+    broadcast constant; each batch does vectorized substring matches and
+    emits one partial-count row per probe, so the reduce is
+    O(len(probes)) regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch[text_col])
+        ns = [pc.sum(pc.match_substring(low, p)).as_py() or 0
+              for p in probes]
+        return pa.table({"probe": pa.array(list(probes), pa.string()),
+                         "n_docs": pa.array(ns, pa.int64())})
+
+    return (docs_ds.select_columns([text_col])
+            .map_batches(counts, batch_format="pyarrow")
+            .groupby("probe").aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+def contamination_probes_sql(probes: tuple[str, ...]) -> str:
+    vals = ", ".join("('" + p.replace("'", "''") + "')" for p in probes)
+    return f"""
+    SELECT probe, CAST(count_if(position(probe IN lower(text)) > 0)
+                       AS BIGINT) AS n_docs
+    FROM documents, (VALUES {vals}) AS probes(probe)
+    GROUP BY probe"""

@@ -707,3 +707,89 @@ def test_kmeans_inertia_non_increasing(ray_session):
         _, _, inertia = kmeans(ds, k=4, n_iter=it)
         assert inertia <= prev + 1e-6
         prev = inertia
+
+
+# --------------------------------------- PII / chunking / contamination --
+def test_redact_pii_planted(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import redact_pii_batch, md5_hex
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["Contact Bob.Smith+x@Example.COM or 555-123-4567 now",
+                 "servers 10.0.0.1 and 192.168.1.255; a@b.io c@d.org",
+                 "clean text with no pii at all"],
+    })
+    got = ray.data.from_pandas(docs).map_batches(
+        redact_pii_batch, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_emails"].tolist() == [1, 2, 0]
+    assert got["n_phones"].tolist() == [1, 0, 0]
+    assert got["n_ips"].tolist() == [0, 2, 0]
+    assert got.loc[0, "redacted_md5"] == md5_hex(
+        "contact <EMAIL> or <PHONE> now")
+    assert got.loc[1, "redacted_md5"] == md5_hex(
+        "servers <IP> and <IP>; <EMAIL> <EMAIL>")
+
+
+def test_redact_pii_sql_parity_on_planted(ray_session, tmp_path):
+    """The DuckDB regexp chain reproduces the Python redaction exactly on
+    PII-bearing text (the driver corpus is PII-free, so this pins the
+    non-trivial path)."""
+    import duckdb
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import (redact_pii_batch,
+                                                   redact_pii_sql)
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "text": ["mail me: First.Last@sub.domain.org!",
+                 "call 800-555-0100 or 800.555.0199 at 8.8.8.8",
+                 "edge: a@b.cd 1.2.3.4.5 999-99-9999",
+                 "nothing here"],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(redact_pii_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = ray.data.from_pandas(docs).map_batches(
+        redact_pii_batch, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()],
+                                  check_dtype=False)
+
+
+def test_doc_chunks_edges(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import doc_chunks
+    toks = [f"w{i}" for i in range(100)]
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [" ".join(toks),          # 100 toks: chunks at 0,48,96
+                 " ".join(toks[:64]),     # exactly chunk: 0 and tail 48
+                 " ".join(toks[:10]),     # short: one chunk
+                 "!!!"],                  # zero tokens: no chunks
+    })
+    got = doc_chunks(ray.data.from_pandas(docs), chunk=64, stride=48) \
+        .to_pandas().sort_values(["doc_id", "chunk_id"]) \
+        .reset_index(drop=True)
+    assert got[got["doc_id"] == 0]["n_tokens"].tolist() == [64, 52, 4]
+    assert got[got["doc_id"] == 1]["n_tokens"].tolist() == [64, 16]
+    assert got[got["doc_id"] == 2]["n_tokens"].tolist() == [10]
+    assert (got["doc_id"] != 3).all()
+    row = got[(got["doc_id"] == 0) & (got["chunk_id"] == 2)].iloc[0]
+    assert row["chunk_text"] == " ".join(toks[96:100])
+
+
+def test_contamination_probes_counts(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import contamination_probes
+    docs = pd.DataFrame({
+        "doc_id": range(5),
+        "text": ["Alpha BETA gamma", "beta delta", "epsilon",
+                 "alphabet soup", "ALPHA beta"],
+    })
+    got = contamination_probes(ray.data.from_pandas(docs).repartition(3),
+                               ("alpha", "beta", "zeta")).to_pandas()
+    m = dict(zip(got["probe"], got["n_docs"]))
+    assert m == {"alpha": 3, "beta": 3, "zeta": 0}
