@@ -708,6 +708,11 @@ def q_doc_length_quantiles(sf_dir: str):
     return textops.length_quantiles(_docs_ds(sf_dir))
 
 
+def q_doc_length_quantiles_by_source(sf_dir: str):
+    """Per-source exact percentiles (keyed histogram combiner)."""
+    return textops.length_quantiles_by(_docs_ds(sf_dir), key_col="source")
+
+
 def q_inverted_index(sf_dir: str):
     """Full postings-list build: term -> (df, cf, 'doc:tf,...')."""
     return textops.inverted_index(_docs_ds(sf_dir))
@@ -1021,6 +1026,7 @@ def queries() -> dict:
         "top_terms_sketch": q_top_terms_sketch,
         "bm25_topk": q_bm25_topk,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "doc_length_quantiles_by_source": q_doc_length_quantiles_by_source,
         "inverted_index": q_inverted_index,
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
@@ -1571,6 +1577,8 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "top_terms_sketch": _TOP_TERMS_SQL,
         "bm25_topk": _BM25_SQL,
         "doc_length_quantiles": textops.length_quantiles_sql(),
+        "doc_length_quantiles_by_source":
+            textops.length_quantiles_by_sql("source"),
         "redact_pii": textops.redact_pii_sql(),
         "doc_chunks": textops.doc_chunks_sql(),
         "contamination": textops.contamination_probes_sql(

@@ -1399,3 +1399,64 @@ def contamination_probes_sql(probes: tuple[str, ...]) -> str:
                        AS BIGINT) AS n_docs
     FROM documents, (VALUES {vals}) AS probes(probe)
     GROUP BY probe"""
+
+
+def length_quantiles_by(docs_ds, key_col: str = "source",
+                        qs: tuple[int, ...] = QUANTILE_QS,
+                        text_col: str = "text"):
+    """Per-group exact token-length quantiles — the keyed generalization
+    of ``length_quantiles``: the combiner emits (key, length, cnt) rows,
+    the reduce is (groups x distinct lengths)-sized, and the driver
+    finishes each group's integer cumsum. Same percentile contract."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch[key_col].to_pylist(),
+            "wc": [len(LOWER_WORD_RE.findall(t.lower()))
+                   for t in batch[text_col].to_pylist()]})
+        part = df.groupby(["k", "wc"], sort=False).size() \
+            .reset_index(name="cnt")
+        return pa.table({"k": pa.array(part["k"], pa.string()),
+                         "wc": pa.array(part["wc"], pa.int64()),
+                         "cnt": pa.array(part["cnt"], pa.int64())})
+
+    hist = (docs_ds.select_columns([key_col, text_col])
+            .map_batches(counts, batch_format="pyarrow")
+            .groupby(["k", "wc"]).aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())                # (groups x lengths)-sized reduce
+    out_k, out_q, out_v = [], [], []
+    for k, g in hist.groupby("k", sort=True):
+        g = g.sort_values("wc")
+        n = int(g["cnt"].sum())
+        cum = g["cnt"].cumsum().to_numpy()
+        wcs = g["wc"].to_numpy()
+        for q in qs:
+            thresh = (q * n + 99) // 100
+            out_k.append(k)
+            out_q.append(int(q))
+            out_v.append(int(wcs[np.searchsorted(cum, thresh)]))
+    return ray.data.from_arrow(pa.table({
+        key_col: pa.array(out_k, pa.string()),
+        "q": pa.array(out_q, pa.int64()),
+        "value": pa.array(out_v, pa.int64())}))
+
+
+def length_quantiles_by_sql(key_col: str = "source",
+                            qs: tuple[int, ...] = QUANTILE_QS) -> str:
+    vals = ", ".join(f"({q})" for q in qs)
+    return f"""
+    WITH v AS (SELECT {key_col} AS k,
+                      len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS wc FROM documents),
+    nn AS (SELECT k, count(*) AS n FROM v GROUP BY k),
+    c AS (SELECT k, wc, count(*) AS cnt FROM v GROUP BY k, wc),
+    cum AS (SELECT k, wc,
+                   sum(cnt) OVER (PARTITION BY k ORDER BY wc) AS cf
+            FROM c)
+    SELECT cum.k AS {key_col}, CAST(q AS BIGINT) AS q,
+           CAST(min(wc) AS BIGINT) AS value
+    FROM (VALUES {vals}) AS qs(q), cum JOIN nn ON cum.k = nn.k
+    WHERE cf >= (q * nn.n + 99) // 100
+    GROUP BY cum.k, q"""

@@ -793,3 +793,20 @@ def test_contamination_probes_counts(ray_session):
                                ("alpha", "beta", "zeta")).to_pandas()
     m = dict(zip(got["probe"], got["n_docs"]))
     assert m == {"alpha": 3, "beta": 3, "zeta": 0}
+
+
+def test_length_quantiles_by_matches_per_group_bruteforce(zipf_docs):
+    import re
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import length_quantiles_by
+    pdf = zipf_docs.to_pandas()
+    pdf["source"] = ["s" + str(i % 3) for i in range(len(pdf))]
+    ds = ray.data.from_pandas(pdf).repartition(8)
+    got = length_quantiles_by(ds, key_col="source").to_pandas()
+    for src, g in pdf.groupby("source"):
+        lens = sorted(len(re.findall(r"[a-z0-9]+", t.lower()))
+                      for t in g["text"])
+        n = len(lens)
+        sub = got[got["source"] == src]
+        for q, v in zip(sub["q"], sub["value"]):
+            assert v == lens[(q * n + 99) // 100 - 1]
