@@ -26,7 +26,8 @@ from seo_crawler_ray.pipelines import queries as _q
 # inherently nondeterministic wall-clock surfaces)
 _NO_ORACLE = {"minhash_near_dups", "simhash_near_dups",
               "crawl_wave_metrics", "ann_topk_ivf", "ann_topk_lsh",
-              "embedding_dup_pairs_lsh", "kmeans_clusters"}
+              "embedding_dup_pairs_lsh", "kmeans_clusters",
+              "semantic_dedup", "quality_classifier"}
 
 
 def entry() -> Any:

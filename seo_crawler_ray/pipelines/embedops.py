@@ -429,3 +429,55 @@ def kmeans(emb_ds, k: int = 8, n_iter: int = 10):
     out = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
         assign_batch, batch_format="pyarrow", fn_kwargs={"cent_ref": cent_ref})
     return out, C, inertia
+
+
+# ----------------------------------------------------------- SemDeDup ----
+def semantic_dedup(emb_ds, k: int = 8, tau: float = 0.95,
+                   n_iter: int = 10):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means partition of the embedding space, then exact
+    cosine dedup WITHIN each cluster only — the cluster step turns the
+    O(n^2) all-pairs problem into sum(c_i^2) bounded by the cluster
+    granularity (the paper runs ~11k clusters over LAION; k must grow
+    with n so c_i stays ~constant).
+
+    Keep policy (deterministic): within a cluster, a vector is dropped
+    iff some SMALLER vec_id in the same cluster has cosine similarity
+    > tau with it (greedy keep-first-by-id — every dup group keeps
+    exactly its min id). Returns (vec_id, cluster, keep 0/1) for every
+    input row.
+
+    Ray shape: one pass assigns (vec_id, cluster, embedding) against the
+    broadcast centroids, then ``groupby(cluster).map_groups`` runs one
+    normalized matmul per cluster and returns an Arrow block (pandas
+    blocks poison downstream shuffles — see CLAUDE.md). No SQL oracle
+    (k-means fixpoint); pinned by brute-force-parity + planted-dup
+    pytest."""
+    _, C, _ = kmeans(emb_ds, k=k, n_iter=n_iter)
+    cent_ref = ray.put(C)
+
+    def tag(batch: pa.Table, cent_ref) -> pa.Table:
+        cent = ray.get(cent_ref)
+        E = _emb_matrix(batch)
+        d2 = -2.0 * (E @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            "embedding": batch["embedding"],
+        })
+
+    def dedup_cluster(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("vec_id")
+        E = _norm_rows(np.array(g["embedding"].tolist(), dtype=np.float64))
+        sims = np.tril(E @ E.T, k=-1)          # j vs all smaller-id rows
+        dropped = (sims > tau).any(axis=1)
+        return pa.table({
+            "vec_id": pa.array(g["vec_id"].to_numpy(np.int64)),
+            "cluster": pa.array(g["cluster"].to_numpy(np.int64)),
+            "keep": pa.array((~dropped).astype(np.int64))})
+
+    return (emb_ds.select_columns(["vec_id", "embedding"])
+            .map_batches(tag, batch_format="pyarrow",
+                         fn_kwargs={"cent_ref": cent_ref})
+            .groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pandas"))

@@ -636,6 +636,14 @@ def q_kmeans_clusters(sf_dir: str):
     return out
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup: k-means partition + within-cluster cosine dedup,
+    keep-min-id policy. No SQL oracle (k-means fixpoint); brute-force
+    parity + planted-dup detection pinned by tests/test_textops.py."""
+    return embedops.semantic_dedup(_emb_ds(sf_dir), k=8, tau=0.95,
+                                   n_iter=10)
+
+
 def q_langid(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(textops.langid_batch, batch_format="pyarrow")
 
@@ -716,6 +724,46 @@ def q_doc_length_quantiles_by_source(sf_dir: str):
 def q_inverted_index(sf_dir: str):
     """Full postings-list build: term -> (df, cf, 'doc:tf,...')."""
     return textops.inverted_index(_docs_ds(sf_dir))
+
+
+def q_quality_classifier(sf_dir: str):
+    """Distributed logistic-regression quality classifier (full-batch GD,
+    broadcast weights, one partial-gradient row per block per iteration).
+    No SQL oracle (iterative float fixpoint); numpy-reference weight
+    parity and separable-fixture accuracy are pytest-pinned."""
+    _, scored = textops.train_quality_classifier(_docs_ds(sf_dir),
+                                                 n_iter=25)
+    return scored
+
+
+def q_corpus_stats(sf_dir: str):
+    """Per-(source, lang) corpus composition rollup."""
+    return textops.corpus_stats(_docs_ds(sf_dir))
+
+
+def q_stratified_sample(sf_dir: str):
+    """Exact deterministic k-per-stratum sample (partial top-k combiner)."""
+    return textops.stratified_sample(_docs_ds(sf_dir), k=20)
+
+
+def q_lm_surprisal(sf_dir: str):
+    """Unigram-LM surprisal scoring: broadcast term model, int64-exact."""
+    return textops.lm_surprisal(_docs_ds(sf_dir))
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 terms by integer TF-IDF (broadcast idf map)."""
+    return textops.tfidf_top_terms(_docs_ds(sf_dir), k=3)
+
+
+_DECON_PROBES = ("the fast key order sort", "batch batch batch stream",
+                 "slow merge window group", "quantum entanglement decay")
+
+
+def q_decontaminate(sf_dir: str):
+    """Word-3-gram benchmark decontamination against fixed probe texts."""
+    return textops.decontaminate_ngrams(_docs_ds(sf_dir), _DECON_PROBES,
+                                        n=3)
 
 
 def q_repetition_stats(sf_dir: str):
@@ -1019,6 +1067,7 @@ def queries() -> dict:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "langid": q_langid,
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
@@ -1028,6 +1077,12 @@ def queries() -> dict:
         "doc_length_quantiles": q_doc_length_quantiles,
         "doc_length_quantiles_by_source": q_doc_length_quantiles_by_source,
         "inverted_index": q_inverted_index,
+        "corpus_stats": q_corpus_stats,
+        "quality_classifier": q_quality_classifier,
+        "stratified_sample": q_stratified_sample,
+        "lm_surprisal": q_lm_surprisal,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
         "contamination": q_contamination,
@@ -1579,6 +1634,12 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "doc_length_quantiles": textops.length_quantiles_sql(),
         "doc_length_quantiles_by_source":
             textops.length_quantiles_by_sql("source"),
+        "corpus_stats": textops.corpus_stats_sql(),
+        "stratified_sample": textops.stratified_sample_sql(k=20),
+        "lm_surprisal": textops.lm_surprisal_sql(),
+        "tfidf_top_terms": textops.tfidf_top_terms_sql(k=3),
+        "decontaminate": textops.decontaminate_ngrams_sql(_DECON_PROBES,
+                                                          n=3),
         "redact_pii": textops.redact_pii_sql(),
         "doc_chunks": textops.doc_chunks_sql(),
         "contamination": textops.contamination_probes_sql(

@@ -1460,3 +1460,446 @@ def length_quantiles_by_sql(key_col: str = "source",
     FROM (VALUES {vals}) AS qs(q), cum JOIN nn ON cum.k = nn.k
     WHERE cf >= (q * nn.n + 99) // 100
     GROUP BY cum.k, q"""
+
+
+# --------------------------------------------------- stratified sample ---
+def stratified_sample(docs_ds, k: int = 20, key_col: str = "source",
+                      id_col: str = "doc_id"):
+    """Exact deterministic stratified sample: for each stratum, the k docs
+    with the smallest (md5(str(id)), id) key — a reproducible pseudo-random
+    draw with exact per-stratum quotas (the training-data "n examples per
+    source" selector).
+
+    Scale shape: each input batch pre-selects its local top-k per stratum,
+    so the shuffle moves <= k rows per (stratum, batch) — never the corpus.
+    The per-stratum reduce sorts <= k * n_batches tiny rows. Strata counts
+    are assumed modest (sources/domains); a hot stratum costs one task of
+    k * n_batches rows, not O(stratum size).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key_col: batch[key_col].to_pylist(),
+            id_col: batch[id_col].to_pylist()})
+        df["h"] = [hashlib.md5(str(i).encode()).hexdigest()
+                   for i in df[id_col]]
+        df = (df.sort_values([key_col, "h", id_col])
+                .groupby(key_col, sort=False).head(k))
+        return pa.table({key_col: pa.array(df[key_col], pa.string()),
+                         id_col: pa.array(df[id_col], pa.int64()),
+                         "h": pa.array(df["h"], pa.string())})
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["h", id_col]).head(k)
+        return pa.table({key_col: pa.array(g[key_col], pa.string()),
+                         id_col: pa.array(g[id_col], pa.int64()),
+                         "sample_rank": pa.array(
+                             range(1, len(g) + 1), pa.int64())})
+
+    return (docs_ds.select_columns([key_col, id_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col)
+            .map_groups(final, batch_format="pandas"))
+
+
+def stratified_sample_sql(k: int = 20, key_col: str = "source",
+                          id_col: str = "doc_id") -> str:
+    return f"""
+    SELECT {key_col}, {id_col}, CAST(rnk AS BIGINT) AS sample_rank
+    FROM (SELECT {key_col}, {id_col},
+                 row_number() OVER (
+                     PARTITION BY {key_col}
+                     ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col})
+                     AS rnk
+          FROM documents)
+    WHERE rnk <= {k}"""
+
+
+# ------------------------------------------------ unigram LM surprisal ---
+class _SurprisalScorer:
+    """Actor-pool scorer: resolves the broadcast term->surprisal map ONCE
+    per actor in __init__ (never per batch), then scores batches with a
+    flat token map + segment-sum (no per-row Python loop over tokens)."""
+
+    def __init__(self, sup_ref, default_sup: int,
+                 id_col: str, text_col: str):
+        self.sup = ray_get(sup_ref)
+        self.default = default_sup
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import itertools
+        ids = batch[self.id_col].to_pylist()
+        toklists = [LOWER_WORD_RE.findall(t.lower())
+                    for t in batch[self.text_col].to_pylist()]
+        lens = np.fromiter((len(t) for t in toklists),
+                           dtype=np.int64, count=len(toklists))
+        flat = list(itertools.chain.from_iterable(toklists))
+        if flat:
+            vals = (pd.Series(flat, dtype=object).map(self.sup)
+                    .fillna(self.default).to_numpy(dtype=np.int64))
+        else:
+            vals = np.empty(0, np.int64)
+        c = np.concatenate([[0], np.cumsum(vals)])
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        sums = c[offs[1:]] - c[offs[:-1]]
+        keep = lens > 0            # zero-token docs drop (SQL join parity)
+        return pa.table({
+            self.id_col: pa.array(np.asarray(ids, np.int64)[keep]),
+            "n_tokens": pa.array(lens[keep]),
+            "surprisal": pa.array(sums[keep])})
+
+
+def ray_get(ref_or_val):
+    import ray
+    return ray.get(ref_or_val) if isinstance(
+        ref_or_val, ray.ObjectRef) else ref_or_val
+
+
+def lm_surprisal(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                 top_v: int | None = None):
+    """Unigram-LM pseudo-perplexity scoring — the CCNet/KenLM quality-
+    filter shape (Wenzek et al. 2020) made exactly reproducible:
+
+    - pass 1: global term counts via the vocabulary-sized per-batch
+      combiner (``term_count_batch``) + groupby sum. The reduce output is
+      vocabulary-sized, never token-stream-sized.
+    - driver: each term's integer surprisal = floor(1e6 * ln(N / count)),
+      computed with SCALAR ``math.log`` (numpy's SIMD log can differ from
+      libm by 1 ulp; the SQL oracle's ``ln`` is libm, so op-order and
+      implementation are pinned identical).
+    - pass 2: the term->surprisal map is broadcast once (``ray.put``) and
+      resolved once per ACTOR; each batch sums its docs' surprisals in
+      int64 — bit-exact, no float accumulation.
+
+    ``top_v`` caps the broadcast vocabulary for heavy-tailed corpora:
+    terms outside the top-v (count desc, term asc) score the OOV floor
+    floor(1e6 * ln(N)) (i.e. count=1). At 100 TB a 1e7-term cap is a few
+    hundred MB, stored once per node in the object store.
+    """
+    import math
+    import ray
+    from ray.data.aggregate import Sum
+
+    vocab = (docs_ds.select_columns([text_col])
+             .map_batches(term_count_batch, batch_format="pyarrow",
+                          fn_kwargs={"text_col": text_col})
+             .groupby("term").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())                       # vocabulary-sized
+    n_total = int(vocab["n"].sum())
+    if top_v is not None and len(vocab) > top_v:
+        vocab = (vocab.sort_values(["n", "term"],
+                                   ascending=[False, True]).head(top_v))
+    sup = {t: int(math.floor(1e6 * math.log(n_total / c)))
+           for t, c in zip(vocab["term"], vocab["n"])}
+    default = int(math.floor(1e6 * math.log(n_total)))
+    sup_ref = ray.put(sup)
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        _SurprisalScorer, batch_format="pyarrow",
+        fn_constructor_kwargs={"sup_ref": sup_ref, "default_sup": default,
+                               "id_col": id_col, "text_col": text_col},
+        concurrency=(1, 8))
+
+
+def lm_surprisal_sql() -> str:
+    return """
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                            AS term
+                 FROM documents),
+    cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM tok),
+    s AS (SELECT term,
+                 CAST(floor(1000000 * ln(CAST(n AS DOUBLE) / c)) AS BIGINT)
+                     AS sup
+          FROM cnt, tot)
+    SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(s.sup) AS BIGINT) AS surprisal
+    FROM tok JOIN s USING (term) GROUP BY tok.doc_id"""
+
+
+# ------------------------------------------------- TF-IDF top terms ------
+def _doc_term_partials(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch (term, df) partials: df = docs in this batch containing
+    the term. Vocabulary-sized output."""
+    from collections import Counter
+    ctr: Counter = Counter()
+    for t in batch[text_col].to_pylist():
+        ctr.update(set(LOWER_WORD_RE.findall(t.lower())))
+    return pa.table({"term": pa.array(list(ctr.keys()), pa.string()),
+                     "df": pa.array(list(ctr.values()), pa.int64())})
+
+
+class _TfidfTopTerms:
+    def __init__(self, idf_ref, k: int, id_col: str, text_col: str):
+        self.idf = ray_get(idf_ref)
+        self.k, self.id_col, self.text_col = k, id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        out_id, out_t, out_s, out_r = [], [], [], []
+        for did, t in zip(batch[self.id_col].to_pylist(),
+                          batch[self.text_col].to_pylist()):
+            tf = Counter(LOWER_WORD_RE.findall(t.lower()))
+            scored = sorted(((tf_c * self.idf[term], term)
+                             for term, tf_c in tf.items()),
+                            key=lambda sv: (-sv[0], sv[1]))[:self.k]
+            for r, (s, term) in enumerate(scored, 1):
+                out_id.append(did)
+                out_t.append(term)
+                out_s.append(s)
+                out_r.append(r)
+        return pa.table({self.id_col: pa.array(out_id, pa.int64()),
+                         "term": pa.array(out_t, pa.string()),
+                         "score": pa.array(out_s, pa.int64()),
+                         "term_rank": pa.array(out_r, pa.int64())})
+
+
+def tfidf_top_terms(docs_ds, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Per-document top-k terms by integer TF-IDF: score = tf *
+    floor(1e6 * ln(n_docs / df)) — all-int once idf is fixed, so ranking
+    ties (score desc, term asc) are exact on both sides.
+
+    Scale shape: pass 1 reduces per-batch distinct-term df partials to a
+    vocabulary-sized table; the idf map is broadcast once per actor; pass
+    2 is embarrassingly parallel per doc (no shuffle at all — the top-k
+    is within-row). The broadcast is vocabulary-sized; cap via the same
+    top-v pattern as ``lm_surprisal`` when the tail is unbounded.
+    """
+    import math
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_docs = docs_ds.count()
+    dfs = (docs_ds.select_columns([text_col])
+           .map_batches(_doc_term_partials, batch_format="pyarrow",
+                        fn_kwargs={"text_col": text_col})
+           .groupby("term").aggregate(Sum("df", alias_name="df"))
+           .to_pandas())                         # vocabulary-sized
+    idf = {t: int(math.floor(1e6 * math.log(n_docs / d)))
+           for t, d in zip(dfs["term"], dfs["df"])}
+    idf_ref = ray.put(idf)
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        _TfidfTopTerms, batch_format="pyarrow",
+        fn_constructor_kwargs={"idf_ref": idf_ref, "k": k,
+                               "id_col": id_col, "text_col": text_col},
+        concurrency=(1, 8))
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                            AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+           GROUP BY term),
+    nd AS (SELECT count(*) AS n FROM documents),
+    idf AS (SELECT term,
+                   CAST(floor(1000000 * ln(CAST(n AS DOUBLE) / df))
+                        AS BIGINT) AS idf
+            FROM df, nd)
+    SELECT doc_id, term, CAST(score AS BIGINT) AS score,
+           CAST(rnk AS BIGINT) AS term_rank
+    FROM (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS score,
+                 row_number() OVER (
+                     PARTITION BY tf.doc_id
+                     ORDER BY tf.tf * idf.idf DESC, tf.term) AS rnk
+          FROM tf JOIN idf USING (term))
+    WHERE rnk <= {k}"""
+
+
+# --------------------------------------------- n-gram decontamination ----
+def _word_ngrams(text: str, n: int) -> list[str]:
+    w = LOWER_WORD_RE.findall(text.lower())
+    return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+
+def decontaminate_ngrams(docs_ds, probes: tuple[str, ...], n: int = 3,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """Benchmark decontamination by word n-gram overlap (the GPT-3 /
+    Brown et al. 2020 appendix-C shape): a document is contaminated when
+    any of its word n-grams appears in the probe (benchmark) set.
+
+    The probe n-gram set is computed on the driver (benchmarks are tiny
+    next to the corpus) and broadcast once per actor; each batch counts
+    per-doc gram membership against the in-memory set — a pure map, no
+    shuffle. Output: (doc_id, n_hits, contaminated 0/1) for every doc.
+    """
+    import ray
+
+    probe_grams = set()
+    for p in probes:
+        probe_grams.update(_word_ngrams(p, n))
+    pg_ref = ray.put(probe_grams)
+
+    class _Decon:
+        def __init__(self):
+            self.pg = ray_get(pg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            hits = [sum(g in self.pg for g in _word_ngrams(t, n))
+                    for t in batch[text_col].to_pylist()]
+            ha = pa.array(hits, pa.int64())
+            return pa.table({
+                id_col: batch[id_col],
+                "n_hits": ha,
+                "contaminated": pc.cast(pc.greater(ha, 0), pa.int64())})
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        _Decon, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def decontaminate_ngrams_sql(probes: tuple[str, ...], n: int = 3) -> str:
+    vals = ", ".join("('" + p.replace("'", "''") + "')" for p in probes)
+    return f"""
+    WITH w AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 array_to_string(list_slice(w, s, s + {n - 1}), ' ') AS gram
+          FROM (SELECT doc_id, w,
+                       unnest(range(1, len(w) - {n - 2})) AS s
+                FROM w)),
+    pw AS (SELECT regexp_extract_all(lower(p), '[a-z0-9]+') AS w
+           FROM (VALUES {vals}) AS probes(p)),
+    pg AS (SELECT DISTINCT
+                  array_to_string(list_slice(w, s, s + {n - 1}), ' ') AS gram
+           FROM (SELECT w, unnest(range(1, len(w) - {n - 2})) AS s
+                 FROM pw)),
+    h AS (SELECT g.doc_id, count(*) AS n_hits
+          FROM g JOIN pg USING (gram) GROUP BY g.doc_id)
+    SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+    FROM documents d LEFT JOIN h USING (doc_id)"""
+
+
+# ------------------------------------------------------- corpus stats ----
+def corpus_stats(docs_ds):
+    """One-stop corpus composition report per (source, lang): doc count,
+    token total, char total. Per-batch partial groupby (the combiner) so
+    the shuffle moves one row per (source, lang, batch); the reduce is
+    domain-sized. The report every mixture/filter decision starts from."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pylist(),
+            "lang": batch["lang"].to_pylist(),
+            "n_tokens": [len(LOWER_WORD_RE.findall(t.lower()))
+                         for t in batch["text"].to_pylist()],
+            "n_chars": batch["n_chars"].to_pylist()})
+        g = (df.groupby(["source", "lang"], sort=False)
+             .agg(n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"),
+                  n_chars=("n_chars", "sum")).reset_index())
+        return pa.table({
+            "source": pa.array(g["source"], pa.string()),
+            "lang": pa.array(g["lang"], pa.string()),
+            "n_docs": pa.array(g["n_docs"], pa.int64()),
+            "n_tokens": pa.array(g["n_tokens"], pa.int64()),
+            "n_chars": pa.array(g["n_chars"], pa.int64())})
+
+    return (docs_ds.select_columns(["source", "lang", "text", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "lang"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("n_chars", alias_name="n_chars")))
+
+
+def corpus_stats_sql() -> str:
+    return """
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents GROUP BY source, lang"""
+
+
+# ------------------------------------- quality classifier (logreg GD) ----
+def _quality_features(batch: pa.Table, label_lang: str = "en") -> pa.Table:
+    """Deterministic per-doc feature row for the quality classifier:
+    x1 = n_tokens/100, x2 = distinct-token ratio, x3 = English-stopword
+    fraction; label y = (lang == label_lang). Pure map."""
+    ids = batch["doc_id"].to_pylist()
+    x1, x2, x3 = [], [], []
+    for t in batch["text"].to_pylist():
+        w = LOWER_WORD_RE.findall(t.lower())
+        n = len(w)
+        x1.append(n / 100.0)
+        x2.append(len(set(w)) / n if n else 0.0)
+        x3.append(sum(tok in STOPWORDS for tok in w) / n if n else 0.0)
+    y = pc.cast(pc.equal(batch["lang"], label_lang), pa.float64())
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "x1": pa.array(x1, pa.float64()),
+                     "x2": pa.array(x2, pa.float64()),
+                     "x3": pa.array(x3, pa.float64()),
+                     "y": y})
+
+
+def train_quality_classifier(docs_ds, n_iter: int = 100, lr: float = 0.5):
+    """Distributed full-batch logistic regression — the model-in-the-loop
+    operator (fastText-style quality filters trained on 'good vs bad'
+    corpus labels). Same exchange shape as ``kmeans``: weights are a
+    broadcast (d+1) vector; every batch emits ONE partial-gradient row
+    (d+1 floats + a count); the driver reduce is O(d * n_blocks).
+
+    Determinism: features are extracted once and materialized (a few
+    floats per doc — the one justified mid-pipeline materialize: it is
+    re-read n_iter times); partial gradients are summed per component
+    with math.fsum over SORTED values, so driver results do not depend
+    on block arrival order. Returns (weights ndarray, scored Dataset
+    (doc_id, score_micro, pred)). No SQL oracle (iterative float
+    fixpoint); numpy-reference parity is pytest-pinned."""
+    import math
+
+    import ray
+
+    feats = (docs_ds.select_columns(["doc_id", "text", "lang"])
+             .map_batches(_quality_features, batch_format="pyarrow")
+             .materialize())
+    n_total = feats.count()
+    w = np.zeros(4, dtype=np.float64)            # bias, x1, x2, x3
+
+    def grad_partial(batch: pa.Table, w_ref) -> pa.Table:
+        wv = ray.get(w_ref)
+        X = np.column_stack([
+            np.ones(batch.num_rows),
+            batch["x1"].to_numpy(zero_copy_only=False),
+            batch["x2"].to_numpy(zero_copy_only=False),
+            batch["x3"].to_numpy(zero_copy_only=False)])
+        yv = batch["y"].to_numpy(zero_copy_only=False)
+        p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+        g = X.T @ (p - yv)
+        return pa.table({"component": pa.array(range(len(g)), pa.int64()),
+                         "g": pa.array(g, pa.float64())})
+
+    for _ in range(n_iter):
+        w_ref = ray.put(w)
+        pdf = feats.map_batches(grad_partial, batch_format="pyarrow",
+                                fn_kwargs={"w_ref": w_ref}).to_pandas()
+        g = np.array([math.fsum(sorted(pdf[pdf["component"] == c]["g"]))
+                      for c in range(len(w))])
+        w = w - lr * g / n_total
+
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table, w_ref) -> pa.Table:
+        wv = ray.get(w_ref)
+        X = np.column_stack([
+            np.ones(batch.num_rows),
+            batch["x1"].to_numpy(zero_copy_only=False),
+            batch["x2"].to_numpy(zero_copy_only=False),
+            batch["x3"].to_numpy(zero_copy_only=False)])
+        p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "score_micro": pa.array((p * 1e6).astype(np.int64)),
+            "pred": pa.array((p >= 0.5).astype(np.int64))})
+
+    scored = feats.map_batches(score, batch_format="pyarrow",
+                               fn_kwargs={"w_ref": w_ref})
+    return w, scored

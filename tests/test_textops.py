@@ -810,3 +810,201 @@ def test_length_quantiles_by_matches_per_group_bruteforce(zipf_docs):
         sub = got[got["source"] == src]
         for q, v in zip(sub["q"], sub["value"]):
             assert v == lens[(q * n + 99) // 100 - 1]
+
+
+def test_stratified_sample_exact_quotas(zipf_docs):
+    import hashlib
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import stratified_sample
+    pdf = zipf_docs.to_pandas()
+    pdf["source"] = ["s" + str(i % 4) for i in range(len(pdf))]
+    ds = ray.data.from_pandas(pdf).repartition(8)
+    got = stratified_sample(ds, k=7).to_pandas()
+    assert (got.groupby("source").size() == 7).all()
+    for src, g in got.groupby("source"):
+        ids = pdf[pdf["source"] == src]["doc_id"]
+        want = sorted(ids, key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))[:7]
+        sub = g.sort_values("sample_rank")
+        assert list(sub["doc_id"]) == want
+        assert list(sub["sample_rank"]) == list(range(1, 8))
+
+
+def test_lm_surprisal_matches_bruteforce(zipf_docs):
+    import math
+    import re
+    from collections import Counter
+    from seo_crawler_ray.pipelines.textops import lm_surprisal
+    pdf = zipf_docs.to_pandas()
+    ctr: Counter = Counter()
+    toks = {}
+    for did, t in zip(pdf["doc_id"], pdf["text"]):
+        toks[did] = re.findall(r"[a-z0-9]+", t.lower())
+        ctr.update(toks[did])
+    n = sum(ctr.values())
+    sup = {w: int(math.floor(1e6 * math.log(n / c)))
+           for w, c in ctr.items()}
+    got = lm_surprisal(zipf_docs).to_pandas().set_index("doc_id")
+    assert len(got) == len(pdf)
+    for did in list(pdf["doc_id"])[:50]:
+        assert got.loc[did, "surprisal"] == sum(sup[w] for w in toks[did])
+        assert got.loc[did, "n_tokens"] == len(toks[did])
+
+
+def test_lm_surprisal_top_v_oov_floor(ray_session):
+    import math
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import lm_surprisal
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": ["a a a b", "rare a"]})
+    got = lm_surprisal(ray.data.from_pandas(df), top_v=2) \
+        .to_pandas().set_index("doc_id")
+    # counts: a=4, b=1, rare=1, N=6; top_v=2 keeps a and b (count desc,
+    # term asc tie-break) -> 'rare' scores the OOV floor ln(6)
+    sa = int(math.floor(1e6 * math.log(6 / 4)))
+    sb = int(math.floor(1e6 * math.log(6 / 1)))
+    oov = int(math.floor(1e6 * math.log(6)))
+    assert got.loc[0, "surprisal"] == 3 * sa + sb
+    assert got.loc[1, "surprisal"] == oov + sa
+
+
+def test_tfidf_top_terms_bruteforce(zipf_docs):
+    import math
+    import re
+    from collections import Counter
+    from seo_crawler_ray.pipelines.textops import tfidf_top_terms
+    pdf = zipf_docs.to_pandas()
+    df_ctr: Counter = Counter()
+    tfs = {}
+    for did, t in zip(pdf["doc_id"], pdf["text"]):
+        tf = Counter(re.findall(r"[a-z0-9]+", t.lower()))
+        tfs[did] = tf
+        df_ctr.update(tf.keys())
+    nd = len(pdf)
+    idf = {w: int(math.floor(1e6 * math.log(nd / d)))
+           for w, d in df_ctr.items()}
+    got = tfidf_top_terms(zipf_docs, k=3).to_pandas()
+    assert len(got) == 3 * nd
+    for did in list(pdf["doc_id"])[:25]:
+        want = sorted(((tf * idf[w], w) for w, tf in tfs[did].items()),
+                      key=lambda sv: (-sv[0], sv[1]))[:3]
+        sub = got[got["doc_id"] == did].sort_values("term_rank")
+        assert list(sub["term"]) == [w for _, w in want]
+        assert list(sub["score"]) == [s for s, _ in want]
+
+
+def test_decontaminate_ngrams_planted(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import decontaminate_ngrams
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the quick brown fox jumps",   # probe 3-grams hit twice
+                 "quick brown cow",             # no full 3-gram overlap
+                 "THE QUICK BROWN dog",         # case-folded hit
+                 ""]})
+    got = decontaminate_ngrams(
+        ray.data.from_pandas(df).repartition(2),
+        probes=("the quick brown fox",), n=3) \
+        .to_pandas().set_index("doc_id")
+    # probe grams: {the quick brown, quick brown fox}
+    assert got.loc[0, "n_hits"] == 2 and got.loc[0, "contaminated"] == 1
+    assert got.loc[1, "n_hits"] == 0 and got.loc[1, "contaminated"] == 0
+    assert got.loc[2, "n_hits"] == 1 and got.loc[2, "contaminated"] == 1
+    assert got.loc[3, "n_hits"] == 0 and len(got) == 4
+
+
+# -------------------------------------------------------------- SemDeDup --
+def test_semantic_dedup_planted_and_bruteforce(ray_session):
+    """Planted near-identical vectors must be dropped (keep=min id per dup
+    group); the full keep set must match a single-process reference that
+    runs the same policy on the same kmeans assignment."""
+    import ray.data
+    from seo_crawler_ray.pipelines.embedops import (_norm_rows, kmeans,
+                                                    semantic_dedup)
+    rng = np.random.RandomState(13)
+    k, d = 4, 16
+    centers = rng.normal(size=(k, d)) * 10
+    # noise sigma=3: same-cluster cosine ~0.91 (below tau), planted
+    # perturbations at 1e-3 are ~1.0 (above tau)
+    rows = [centers[i % k] + rng.normal(size=d) * 3.0 for i in range(120)]
+    # planted semantic dups: 120/121 are tiny perturbations of row 0,
+    # 122 duplicates row 5 exactly
+    rows.append(rows[0] + rng.normal(size=d) * 1e-3)     # 120 ~ 0
+    rows.append(rows[0] + rng.normal(size=d) * 1e-3)     # 121 ~ 0
+    rows.append(rows[5].copy())                          # 122 == 5
+    E = np.vstack(rows).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(len(rows)),
+                       "embedding": [list(e) for e in E],
+                       "label": [0] * len(rows)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    tau = 0.99
+    got = semantic_dedup(ds, k=k, tau=tau, n_iter=8).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == len(rows)
+    gm = dict(zip(got["vec_id"], got["keep"]))
+    assert gm[0] == 1 and gm[120] == 0 and gm[121] == 0
+    assert gm[5] == 1 and gm[122] == 0
+
+    # reference: same assignments (from the operator's own kmeans),
+    # same greedy keep-first-by-id policy
+    assign_ds, _, _ = kmeans(ds, k=k, n_iter=8)
+    assign = assign_ds.to_pandas().set_index("vec_id")["cluster"]
+    X = _norm_rows(E.astype(np.float64))
+    want_keep = {}
+    for c in sorted(assign.unique()):
+        ids = sorted(assign[assign == c].index)
+        kept = []
+        for i in ids:
+            dup = any(X[i] @ X[j] > tau for j in kept)
+            want_keep[i] = 0 if dup else 1
+            if not dup:
+                kept.append(i)
+    for vid in range(len(rows)):
+        assert gm[vid] == want_keep[vid], vid
+
+
+# ------------------------------------------------------ quality logreg --
+def test_quality_classifier_separable_and_numpy_parity(ray_session):
+    """Separable planted corpus: 'en' docs are stopword-rich, 'xx' docs
+    stopword-free. Training must reach 100% accuracy AND land on the
+    same weights as a single-process numpy GD with identical init/lr."""
+    import math
+    import re
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import (
+        STOPWORDS, train_quality_classifier)
+    rng = np.random.RandomState(17)
+    stop = sorted(STOPWORDS)
+    other = [f"w{i}" for i in range(50)]
+    docs, langs = [], []
+    for i in range(80):
+        if i % 2 == 0:
+            toks = list(rng.choice(stop, 15)) + list(rng.choice(other, 10))
+            langs.append("en")
+        else:
+            toks = list(rng.choice(other, 25))
+            langs.append("xx")
+        rng.shuffle(toks)
+        docs.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": range(80), "text": docs, "lang": langs})
+    ds = ray.data.from_pandas(df).repartition(4)
+    n_iter, lr = 60, 0.5
+    w, scored = train_quality_classifier(ds, n_iter=n_iter, lr=lr)
+    got = scored.to_pandas().sort_values("doc_id")
+    want_y = (df["lang"] == "en").astype(int).to_numpy()
+    assert (got["pred"].to_numpy() == want_y).all()
+
+    # numpy reference with identical features/order-insensitive sums
+    X, Y = [], []
+    for t, lg in zip(df["text"], df["lang"]):
+        ws = re.findall(r"[a-z0-9]+", t.lower())
+        n = len(ws)
+        X.append([1.0, n / 100.0, len(set(ws)) / n,
+                  sum(tok in STOPWORDS for tok in ws) / n])
+        Y.append(1.0 if lg == "en" else 0.0)
+    X, Y = np.array(X), np.array(Y)
+    wr = np.zeros(4)
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-(X @ wr)))
+        wr = wr - lr * (X.T @ (p - Y)) / len(Y)
+    assert np.allclose(w, wr, atol=1e-8)
