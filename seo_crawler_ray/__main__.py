@@ -5,6 +5,8 @@
         [--resume] [--mode priority] [--max-depth 12] [--max-urls N]
     python -m seo_crawler_ray export --crawl /tmp/crawl --kind pages_csv \
         --out /tmp/pages.csv
+    python -m seo_crawler_ray prepare --docs documents.parquet \
+        --out /tmp/prep [--min-tokens 5] [--probe "bench text"] [--resume]
     ray job submit --working-dir . -- python -m seo_crawler_ray crawl ...
 
 Owns a Ray session only when none exists (``ray job submit`` and the driver
@@ -92,6 +94,17 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    _ensure_ray()
+    from .pipelines.prepare import prepare_training_data
+    probes = tuple(args.probe or ())
+    manifest = prepare_training_data(
+        args.docs, args.out, min_tokens=args.min_tokens, probes=probes,
+        resume=args.resume)
+    print(json.dumps(manifest))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="seo_crawler_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -121,6 +134,18 @@ def main(argv=None) -> int:
                             "pages_json", "pages_xml"])
     e.add_argument("--out", required=True)
     e.set_defaults(fn=cmd_export)
+
+    t = sub.add_parser("prepare", help="end-to-end training-data prep: "
+                       "filter -> dedup -> decontaminate -> split -> shards")
+    t.add_argument("--docs", required=True,
+                   help="documents parquet file (doc_id,text,lang,source,"
+                        "n_chars)")
+    t.add_argument("--out", required=True)
+    t.add_argument("--min-tokens", type=int, default=5)
+    t.add_argument("--probe", action="append",
+                   help="contamination probe text (repeatable)")
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_prepare)
 
     args = p.parse_args(argv)
     return args.fn(args)

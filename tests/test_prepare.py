@@ -1,0 +1,89 @@
+"""End-to-end training-data prepare pipeline: output must equal a
+single-process reference applying the same rules, layout must be
+partitioned by split, and _DONE-based resume must not rewrite shards."""
+import glob
+import hashlib
+import json
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+PROBES = ("the fast key order sort", "batch batch batch stream")
+
+
+def _reference(pdf: pd.DataFrame, min_tokens: int, probes, n: int = 3):
+    grams = set()
+    for p in probes:
+        w = re.findall(r"[a-z0-9]+", p.lower())
+        grams.update(" ".join(w[i:i + n]) for i in range(len(w) - n + 1))
+    rows = []
+    for _, r in pdf.iterrows():
+        w = re.findall(r"[a-z0-9]+", r["text"].lower())
+        if len(w) < min_tokens:
+            continue
+        if any(" ".join(w[i:i + n]) in grams
+               for i in range(len(w) - n + 1)):
+            continue
+        rows.append((r["doc_id"], r["text"], len(w)))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "n_tokens"])
+    # exact dedup: keep min doc_id per md5(text)
+    df["h"] = [hashlib.md5(t.encode()).hexdigest() for t in df["text"]]
+    df = df.sort_values("doc_id").groupby("h", sort=False).head(1)
+    bucket = df["doc_id"].map(
+        lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        % 1000)
+    df["split"] = np.where(bucket < 50, "val",
+                           np.where(bucket < 100, "test", "train"))
+    return df
+
+
+def test_prepare_matches_reference_and_resumes(ray_session, tmp_path):
+    from seo_crawler_ray.pipelines.prepare import prepare_training_data
+    out = str(tmp_path / "prep")
+    manifest = prepare_training_data(DOCS, out, min_tokens=5,
+                                     probes=PROBES)
+    want = _reference(pd.read_parquet(DOCS), 5, PROBES)
+
+    import ray.data
+    got = ray.data.read_parquet(os.path.join(out, "data")).to_pandas()
+    assert set(got["doc_id"]) == set(want["doc_id"])
+    gsplit = got.set_index("doc_id")["split"]
+    for did, s in zip(want["doc_id"], want["split"]):
+        assert gsplit[did] == s
+    for s, grp in want.groupby("split"):
+        assert manifest["splits"][s]["n_docs"] == len(grp)
+        assert manifest["splits"][s]["n_tokens"] == int(
+            grp["n_tokens"].sum())
+    # layout: hive-partitioned by split, more than one file overall
+    for s in want["split"].unique():
+        assert glob.glob(os.path.join(out, "data", f"split={s}",
+                                      "*.parquet"))
+    assert os.path.exists(os.path.join(out, "_DONE"))
+
+    # resume: identical manifest, shards untouched
+    files = sorted(glob.glob(os.path.join(out, "data", "**", "*.parquet"),
+                             recursive=True))
+    mtimes = [os.path.getmtime(f) for f in files]
+    again = prepare_training_data(DOCS, out, min_tokens=5, probes=PROBES,
+                                  resume=True)
+    assert again == manifest
+    assert [os.path.getmtime(f) for f in files] == mtimes
+
+    # non-resume rerun overwrites cleanly (no APPEND duplication)
+    third = prepare_training_data(DOCS, out, min_tokens=5, probes=PROBES)
+    assert third["splits"] == manifest["splits"]
+    total = sum(v["n_docs"] for v in third["splits"].values())
+    assert ray.data.read_parquet(
+        os.path.join(out, "data")).count() == total
+
+
+def test_prepare_min_tokens_gate(ray_session, tmp_path):
+    from seo_crawler_ray.pipelines.prepare import prepare_training_data
+    out = str(tmp_path / "prep_hi")
+    manifest = prepare_training_data(DOCS, out, min_tokens=60)
+    want = _reference(pd.read_parquet(DOCS), 60, ())
+    assert sum(v["n_docs"] for v in manifest["splits"].values()) == len(want)
