@@ -101,6 +101,14 @@ def run_bench() -> dict:
     timed("events_tumbling", lambda: len(events.tumbling_window(ev)))
     timed("sessionize", lambda: len(events.sessionize(ev)))
 
+    # end-to-end training-data prep (read -> filter -> dedup ->
+    # decontaminate -> split -> partitioned shards + manifest)
+    from seo_crawler_ray.pipelines.prepare import prepare_training_data
+    prep_out = "/tmp/seo_ray_bench/prepare"
+    shutil.rmtree(prep_out, ignore_errors=True)
+    timed("prepare_shards", lambda: prepare_training_data(
+        os.path.join(SF_DIR, "documents.parquet"), prep_out))
+
     value = timings["crawl"]
     return {
         "metric": "frontier-expansion crawl wall time (flagship pipeline, "

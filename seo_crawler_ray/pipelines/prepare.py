@@ -57,6 +57,20 @@ def dedup_exact_rows(docs_ds, id_col: str = "doc_id",
             .map_groups(keep_min, batch_format="pandas"))
 
 
+def read_documents(path: str):
+    """Read a documents table in any supported format — parquet (default),
+    JSONL, or CSV, chosen by extension. Each reader is the streaming Ray
+    Data source (no driver-side load); parquet additionally benefits from
+    column pruning downstream."""
+    import ray.data
+    low = path.lower()
+    if low.endswith((".jsonl", ".json")):
+        return ray.data.read_json(path)
+    if low.endswith(".csv"):
+        return ray.data.read_csv(path)
+    return ray.data.read_parquet(path)
+
+
 def _split_of(ids: list, val_permille: int, test_permille: int) -> list:
     out = []
     for i in ids:
@@ -113,7 +127,7 @@ def prepare_training_data(docs_path: str, out_dir: str, *,
                                         val_permille, test_permille),
                               pa.string()))
 
-    ds = (ray.data.read_parquet(docs_path)
+    ds = (read_documents(docs_path)
           .map_batches(filter_and_tag, batch_format="pyarrow"))
     ds = dedup_exact_rows(ds)
 

@@ -87,3 +87,19 @@ def test_prepare_min_tokens_gate(ray_session, tmp_path):
     manifest = prepare_training_data(DOCS, out, min_tokens=60)
     want = _reference(pd.read_parquet(DOCS), 60, ())
     assert sum(v["n_docs"] for v in manifest["splits"].values()) == len(want)
+
+
+def test_prepare_reads_jsonl_and_csv(ray_session, tmp_path):
+    """Same pipeline over the same rows in JSONL and CSV must produce the
+    same manifest as the parquet run (format-agnostic ingestion)."""
+    from seo_crawler_ray.pipelines.prepare import prepare_training_data
+    pdf = pd.read_parquet(DOCS)
+    jl = str(tmp_path / "docs.jsonl")
+    pdf.to_json(jl, orient="records", lines=True)
+    cv = str(tmp_path / "docs.csv")
+    pdf.to_csv(cv, index=False)
+    m_pq = prepare_training_data(DOCS, str(tmp_path / "o1"), min_tokens=5)
+    m_jl = prepare_training_data(jl, str(tmp_path / "o2"), min_tokens=5)
+    m_cv = prepare_training_data(cv, str(tmp_path / "o3"), min_tokens=5)
+    assert m_jl["splits"] == m_pq["splits"]
+    assert m_cv["splits"] == m_pq["splits"]
