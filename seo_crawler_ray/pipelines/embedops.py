@@ -341,6 +341,16 @@ def lsh_bucketed_topk(emb_ds, n_queries: int = 8, k: int = 10,
 
 
 # ------------------------------------------------------------- k-means ----
+def _assign_to_centroids(E: np.ndarray, cent: np.ndarray):
+    """Squared-euclidean argmin assignment via the expansion trick (the
+    E-norm term drops out of the argmin). The ONE assignment rule shared
+    by kmeans' E-step, its final labeling pass, and semantic_dedup —
+    tie-break toward the lower cluster id via argmin. Returns (assign,
+    d2) so callers needing inertia reuse the same distance matrix."""
+    d2 = -2.0 * (E @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+    return np.argmin(d2, axis=1), d2
+
+
 def kmeans(emb_ds, k: int = 8, n_iter: int = 10):
     """Distributed Lloyd's k-means over the embedding column — the
     operator behind IVF coarse quantizers and embedding-space corpus
@@ -376,10 +386,7 @@ def kmeans(emb_ds, k: int = 8, n_iter: int = 10):
     def partials(batch: pa.Table, cent_ref) -> pa.Table:
         cent = ray.get(cent_ref)
         E = _emb_matrix(batch)
-        # squared euclidean via the expansion trick; E-norms drop out of
-        # the argmin, so only the cross term + centroid norms are needed
-        d2 = -2.0 * (E @ cent.T) + (cent * cent).sum(axis=1)[None, :]
-        assign = np.argmin(d2, axis=1)
+        assign, d2 = _assign_to_centroids(E, cent)
         kk, dd = cent.shape
         sums = np.zeros((kk, dd), dtype=np.float64)
         np.add.at(sums, assign, E)
@@ -420,10 +427,10 @@ def kmeans(emb_ds, k: int = 8, n_iter: int = 10):
     def assign_batch(batch: pa.Table, cent_ref) -> pa.Table:
         cent = ray.get(cent_ref)
         E = _emb_matrix(batch)
-        d2 = -2.0 * (E @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        assign, _ = _assign_to_centroids(E, cent)
         return pa.table({
             "vec_id": batch["vec_id"].cast(pa.int64()),
-            "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            "cluster": pa.array(assign.astype(np.int64)),
         })
 
     out = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
@@ -459,22 +466,30 @@ def semantic_dedup(emb_ds, k: int = 8, tau: float = 0.95,
     def tag(batch: pa.Table, cent_ref) -> pa.Table:
         cent = ray.get(cent_ref)
         E = _emb_matrix(batch)
-        d2 = -2.0 * (E @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        assign, _ = _assign_to_centroids(E, cent)
         return pa.table({
             "vec_id": batch["vec_id"].cast(pa.int64()),
-            "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            "cluster": pa.array(assign.astype(np.int64)),
             "embedding": batch["embedding"],
         })
 
     def dedup_cluster(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values("vec_id")
         E = _norm_rows(np.array(g["embedding"].tolist(), dtype=np.float64))
-        sims = np.tril(E @ E.T, k=-1)          # j vs all smaller-id rows
-        dropped = (sims > tau).any(axis=1)
+        S = E @ E.T
+        # greedy keep-first-by-id: a row is dropped iff a KEPT smaller-id
+        # row is >tau similar (comparing against dropped rows too would
+        # over-delete transitive chains: a~b, b~c, a!~c must keep a AND c)
+        kept: list[int] = []
+        keep_flags = np.zeros(len(g), dtype=np.int64)
+        for j in range(len(g)):
+            if not kept or not (S[j, kept] > tau).any():
+                kept.append(j)
+                keep_flags[j] = 1
         return pa.table({
             "vec_id": pa.array(g["vec_id"].to_numpy(np.int64)),
             "cluster": pa.array(g["cluster"].to_numpy(np.int64)),
-            "keep": pa.array((~dropped).astype(np.int64))})
+            "keep": pa.array(keep_flags)})
 
     return (emb_ds.select_columns(["vec_id", "embedding"])
             .map_batches(tag, batch_format="pyarrow",

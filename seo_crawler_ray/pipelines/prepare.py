@@ -30,7 +30,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from .textops import LOWER_WORD_RE, _word_ngrams, md5_hex
+from .textops import LOWER_WORD_RE, _word_ngrams, add_text_hash
 
 
 def dedup_exact_rows(docs_ds, id_col: str = "doc_id",
@@ -42,18 +42,14 @@ def dedup_exact_rows(docs_ds, id_col: str = "doc_id",
     only ids are needed downstream, prefer ``dedup_exact``: its shuffle
     moves (hash, id) pairs only.)"""
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_text_hash", pa.array([md5_hex(t) for t in
-                                    batch[text_col].to_pylist()]))
-
     def keep_min(g) -> pa.Table:
-        g = g.sort_values(id_col).head(1).drop(columns=["_text_hash"])
+        g = g.sort_values(id_col).head(1).drop(columns=["text_hash"])
         return pa.Table.from_pandas(g, preserve_index=False) \
             .replace_schema_metadata(None)
 
-    return (docs_ds.map_batches(add_hash, batch_format="pyarrow")
-            .groupby("_text_hash")
+    return (docs_ds.map_batches(add_text_hash, batch_format="pyarrow",
+                                fn_kwargs={"col": text_col})
+            .groupby("text_hash")
             .map_groups(keep_min, batch_format="pandas"))
 
 
@@ -131,24 +127,37 @@ def prepare_training_data(docs_path: str, out_dir: str, *,
           .map_batches(filter_and_tag, batch_format="pyarrow"))
     ds = dedup_exact_rows(ds)
 
+    import glob
+    import shutil
+
+    # write to a temp dir and swap in only on success: a crash mid-write
+    # (or an empty result) must never destroy the previous run's shards
     data_dir = os.path.join(out_dir, "data")
-    if os.path.exists(data_dir):      # non-resume rerun: the write mode is
-        import shutil                 # APPEND, so stale shards must go
-        shutil.rmtree(data_dir)
-    if os.path.exists(done):
-        os.remove(done)
-    os.makedirs(data_dir, exist_ok=True)
-    ds.write_parquet(data_dir, partition_cols=["split"])
+    tmp_dir = os.path.join(out_dir, "data.tmp")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    ds.write_parquet(tmp_dir, partition_cols=["split"])
 
     # manifest from the WRITTEN shards: row counts come from parquet
     # metadata, token totals from a pruned single-column read — no
-    # mid-pipeline materialization of the corpus
-    from ray.data.aggregate import Count, Sum
-    stats = (ray.data.read_parquet(data_dir, columns=["split", "n_tokens"])
-             .groupby("split")
-             .aggregate(Count(alias_name="n_docs"),
-                        Sum("n_tokens", alias_name="n_tokens"))
-             .to_pandas())
+    # mid-pipeline materialization of the corpus. An all-filtered corpus
+    # writes no files; that's a valid empty result, not a crash.
+    if glob.glob(os.path.join(tmp_dir, "**", "*.parquet"), recursive=True):
+        from ray.data.aggregate import Count, Sum
+        stats = (ray.data.read_parquet(tmp_dir,
+                                       columns=["split", "n_tokens"])
+                 .groupby("split")
+                 .aggregate(Count(alias_name="n_docs"),
+                            Sum("n_tokens", alias_name="n_tokens"))
+                 .to_pandas())
+    else:
+        import pandas as pd
+        stats = pd.DataFrame(columns=["split", "n_docs", "n_tokens"])
+
+    if os.path.exists(done):
+        os.remove(done)
+    shutil.rmtree(data_dir, ignore_errors=True)
+    os.replace(tmp_dir, data_dir)
     manifest = {
         "docs_path": docs_path,
         "min_tokens": min_tokens,

@@ -736,6 +736,12 @@ def q_quality_classifier(sf_dir: str):
     return scored
 
 
+def q_cross_split_leakage(sf_dir: str):
+    """Train/val 3-gram leakage audit (exact distributed hash semi-join,
+    both sides streaming — no broadcast)."""
+    return textops.cross_split_leakage(_docs_ds(sf_dir), n=3)
+
+
 def q_corpus_stats(sf_dir: str):
     """Per-(source, lang) corpus composition rollup."""
     return textops.corpus_stats(_docs_ds(sf_dir))
@@ -1083,6 +1089,7 @@ def queries() -> dict:
         "lm_surprisal": q_lm_surprisal,
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontaminate": q_decontaminate,
+        "cross_split_leakage": q_cross_split_leakage,
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
         "contamination": q_contamination,
@@ -1640,6 +1647,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "tfidf_top_terms": textops.tfidf_top_terms_sql(k=3),
         "decontaminate": textops.decontaminate_ngrams_sql(_DECON_PROBES,
                                                           n=3),
+        "cross_split_leakage": textops.cross_split_leakage_sql(n=3),
         "redact_pii": textops.redact_pii_sql(),
         "doc_chunks": textops.doc_chunks_sql(),
         "contamination": textops.contamination_probes_sql(

@@ -1158,6 +1158,18 @@ def bm25_topk(docs_ds, query_terms: tuple[str, ...], k: int = 20,
 QUANTILE_QS = (25, 50, 75, 90, 99)
 
 
+def _hist_quantile_values(wcs: np.ndarray, cnts: np.ndarray,
+                          qs: tuple[int, ...]) -> list[int]:
+    """THE quantile contract, shared by the global and keyed operators
+    (and mirrored by both SQL oracles): q-th percentile = smallest value
+    whose cumulative count reaches ceil(q*n/100) = (q*n + 99) // 100,
+    over a (value, count) histogram sorted by value."""
+    n = int(cnts.sum())
+    cum = np.cumsum(cnts)
+    return [int(wcs[np.searchsorted(cum, (q * n + 99) // 100)])
+            for q in qs]
+
+
 def length_quantiles(docs_ds, qs: tuple[int, ...] = QUANTILE_QS,
                      text_col: str = "text"):
     """EXACT token-length quantiles of the corpus via a bounded histogram:
@@ -1192,15 +1204,10 @@ def length_quantiles(docs_ds, qs: tuple[int, ...] = QUANTILE_QS,
     if n == 0:
         return ray.data.from_arrow(pa.table({
             "q": pa.array([], pa.int64()), "value": pa.array([], pa.int64())}))
-    cum = hist["cnt"].cumsum().to_numpy()
-    wcs = hist["wc"].to_numpy()
-    out_q, out_v = [], []
-    for q in qs:
-        thresh = (q * n + 99) // 100
-        out_q.append(int(q))
-        out_v.append(int(wcs[np.searchsorted(cum, thresh)]))
+    out_v = _hist_quantile_values(hist["wc"].to_numpy(),
+                                  hist["cnt"].to_numpy(), qs)
     return ray.data.from_arrow(pa.table({
-        "q": pa.array(out_q, pa.int64()),
+        "q": pa.array([int(q) for q in qs], pa.int64()),
         "value": pa.array(out_v, pa.int64())}))
 
 
@@ -1429,14 +1436,11 @@ def length_quantiles_by(docs_ds, key_col: str = "source",
     out_k, out_q, out_v = [], [], []
     for k, g in hist.groupby("k", sort=True):
         g = g.sort_values("wc")
-        n = int(g["cnt"].sum())
-        cum = g["cnt"].cumsum().to_numpy()
-        wcs = g["wc"].to_numpy()
-        for q in qs:
-            thresh = (q * n + 99) // 100
-            out_k.append(k)
-            out_q.append(int(q))
-            out_v.append(int(wcs[np.searchsorted(cum, thresh)]))
+        vals = _hist_quantile_values(g["wc"].to_numpy(),
+                                     g["cnt"].to_numpy(), qs)
+        out_k.extend([k] * len(qs))
+        out_q.extend(int(q) for q in qs)
+        out_v.extend(vals)
     return ray.data.from_arrow(pa.table({
         key_col: pa.array(out_k, pa.string()),
         "q": pa.array(out_q, pa.int64()),
@@ -1586,6 +1590,12 @@ def lm_surprisal(docs_ds, id_col: str = "doc_id", text_col: str = "text",
              .groupby("term").aggregate(Sum("n", alias_name="n"))
              .to_pandas())                       # vocabulary-sized
     n_total = int(vocab["n"].sum())
+    if n_total == 0:      # no tokens anywhere: empty typed result (the
+        import ray.data   # SQL join over an empty token stream is empty)
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "surprisal": pa.array([], pa.int64())}))
     if top_v is not None and len(vocab) > top_v:
         vocab = (vocab.sort_values(["n", "term"],
                                    ascending=[False, True]).head(top_v))
@@ -1903,3 +1913,126 @@ def train_quality_classifier(docs_ds, n_iter: int = 100, lr: float = 0.5):
     scored = feats.map_batches(score, batch_format="pyarrow",
                                fn_kwargs={"w_ref": w_ref})
     return w, scored
+
+
+# ------------------------------------------- train/val leakage audit -----
+def _split_bucket(ids) -> np.ndarray:
+    return np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                     % 1000 for i in ids], dtype=np.int64)
+
+
+def cross_split_leakage(docs_ds, n: int = 3, val_permille: int = 50,
+                        test_permille: int = 50, n_buckets: int = 64,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Train/val n-gram leakage audit — for every TRAIN-split document,
+    how many of its word n-gram positions occur in ANY val-split document.
+    The all-pairs version of decontamination: unlike
+    ``decontaminate_ngrams`` (probe set broadcast — right when the
+    benchmark is tiny), here BOTH sides stream from the corpus, so the
+    join is an exact distributed hash semi-join with no broadcast at all:
+
+    - one pass emits (gram_bucket, gram_md5, doc_id, is_probe) rows for
+      train-side gram POSITIONS and val-side DISTINCT grams (16-byte md5
+      travels the shuffle, never the gram text),
+    - ``groupby(bucket)`` (64 groups, not per-gram groups) builds each
+      bucket's probe hash set locally and counts train hits,
+    - a zero base row per train doc + groupby(doc_id).sum closes the
+      left-join semantics.
+
+    Scales with both sides at 100 TB: shuffle volume = one 16-byte hash
+    per gram position; per-bucket state = 1/n_buckets of the val grams.
+    """
+    from ray.data.aggregate import Sum
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        bkt = _split_bucket(ids)
+        out_b, out_h, out_id, out_p = [], [], [], []
+        for did, b, t in zip(ids, bkt, batch[text_col].to_pylist()):
+            if b < val_permille:          # val: distinct probe grams
+                for g in set(_word_ngrams(t, n)):
+                    gh = hashlib.md5(g.encode()).digest()
+                    out_b.append(int.from_bytes(gh[:2], "big") % n_buckets)
+                    out_h.append(gh)
+                    out_id.append(-1)
+                    out_p.append(1)
+            elif b >= val_permille + test_permille:  # train: positions
+                for g in _word_ngrams(t, n):
+                    gh = hashlib.md5(g.encode()).digest()
+                    out_b.append(int.from_bytes(gh[:2], "big") % n_buckets)
+                    out_h.append(gh)
+                    out_id.append(did)
+                    out_p.append(0)
+        return pa.table({"bucket": pa.array(out_b, pa.int64()),
+                         "gh": pa.array(out_h, pa.binary(16)),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "is_probe": pa.array(out_p, pa.int64())})
+
+    def bucket_hits(g: pd.DataFrame) -> pa.Table:
+        probe = set(g.loc[g["is_probe"] == 1, "gh"])
+        d = g[g["is_probe"] == 0]
+        if probe and len(d):
+            # NOT pandas .isin: it coerces the bytes set to numpy 'S16',
+            # which truncates trailing NUL bytes and silently drops
+            # matches for ~1/256 of hashes. Python set membership on
+            # bytes is exact.
+            mask = np.fromiter((h in probe for h in d["gh"]),
+                               bool, len(d))
+            hits = d[mask].groupby(id_col).size()
+            return pa.table({id_col: pa.array(hits.index, pa.int64()),
+                             "n_hits": pa.array(hits.to_numpy(np.int64))})
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_hits": pa.array([], pa.int64())})
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        bkt = _split_bucket(ids)
+        keep = bkt >= val_permille + test_permille
+        return pa.table({
+            id_col: pa.array(np.asarray(ids, np.int64)[keep]),
+            "n_hits": pa.array(np.zeros(int(keep.sum()), np.int64))})
+
+    grams = docs_ds.select_columns([id_col, text_col]) \
+        .map_batches(gram_rows, batch_format="pyarrow")
+    hits = grams.groupby("bucket").map_groups(bucket_hits,
+                                              batch_format="pandas")
+    base = docs_ds.select_columns([id_col]) \
+        .map_batches(base_rows, batch_format="pyarrow")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "contaminated",
+            pc.cast(pc.greater(batch["n_hits"], 0), pa.int64()))
+
+    return (base.union(hits)
+            .groupby(id_col).aggregate(Sum("n_hits", alias_name="n_hits"))
+            .map_batches(flag, batch_format="pyarrow"))
+
+
+def cross_split_leakage_sql(n: int = 3, val_permille: int = 50,
+                            test_permille: int = 50) -> str:
+    hi = val_permille + test_permille
+    return f"""
+    WITH s AS (SELECT doc_id, text,
+                      CASE WHEN bkt < {val_permille} THEN 'val'
+                           WHEN bkt < {hi} THEN 'test'
+                           ELSE 'train' END AS split
+               FROM (SELECT doc_id, text,
+                            CAST(('0x' || substr(md5(CAST(doc_id AS
+                                VARCHAR)), 1, 8)) AS UBIGINT) % 1000 AS bkt
+                     FROM documents)),
+    w AS (SELECT doc_id, split,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+          FROM s WHERE split IN ('train', 'val')),
+    g AS (SELECT doc_id, split,
+                 array_to_string(list_slice(w, i, i + {n - 1}), ' ') AS gram
+          FROM (SELECT doc_id, split, w,
+                       unnest(range(1, len(w) - {n - 2})) AS i
+                FROM w)),
+    pg AS (SELECT DISTINCT gram FROM g WHERE split = 'val'),
+    h AS (SELECT g.doc_id, count(*) AS n_hits
+          FROM g JOIN pg USING (gram)
+          WHERE g.split = 'train' GROUP BY g.doc_id)
+    SELECT s.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+    FROM s LEFT JOIN h USING (doc_id) WHERE s.split = 'train'"""

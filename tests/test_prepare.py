@@ -103,3 +103,16 @@ def test_prepare_reads_jsonl_and_csv(ray_session, tmp_path):
     m_cv = prepare_training_data(cv, str(tmp_path / "o3"), min_tokens=5)
     assert m_jl["splits"] == m_pq["splits"]
     assert m_cv["splits"] == m_pq["splits"]
+
+
+def test_prepare_all_filtered_is_empty_not_crash(ray_session, tmp_path):
+    """min_tokens above every doc: valid empty manifest, and a prior
+    run's shards must survive the failed/empty rerun (temp-dir swap)."""
+    from seo_crawler_ray.pipelines.prepare import prepare_training_data
+    out = str(tmp_path / "prep_empty")
+    full = prepare_training_data(DOCS, out, min_tokens=5)
+    assert sum(v["n_docs"] for v in full["splits"].values()) > 0
+    empty = prepare_training_data(DOCS, out, min_tokens=10_000)
+    assert empty["splits"] == {}
+    assert not glob.glob(os.path.join(out, "data", "**", "*.parquet"),
+                         recursive=True)

@@ -1008,3 +1008,56 @@ def test_quality_classifier_separable_and_numpy_parity(ray_session):
         p = 1.0 / (1.0 + np.exp(-(X @ wr)))
         wr = wr - lr * (X.T @ (p - Y)) / len(Y)
     assert np.allclose(w, wr, atol=1e-8)
+
+
+def test_semantic_dedup_transitive_chain_keeps_endpoints(ray_session):
+    """a~b, b~c, a!~c (a chain): greedy keep-first must keep a AND c —
+    dropping c because of the already-dropped b would over-delete."""
+    import ray.data
+    from seo_crawler_ray.pipelines.embedops import semantic_dedup
+    # 2-d unit vectors at 0, 18 and 36 degrees: cos(18deg)=0.951 > tau,
+    # cos(36deg)=0.809 < tau
+    ang = np.deg2rad([0.0, 18.0, 36.0])
+    E = np.column_stack([np.cos(ang), np.sin(ang)])
+    df = pd.DataFrame({"vec_id": [0, 1, 2],
+                       "embedding": [list(e) for e in E],
+                       "label": [0, 0, 0]})
+    got = semantic_dedup(ray.data.from_pandas(df), k=1, tau=0.95,
+                         n_iter=2).to_pandas()
+    keep = dict(zip(got["vec_id"], got["keep"]))
+    assert keep == {0: 1, 1: 0, 2: 1}
+
+
+def test_cross_split_leakage_planted(ray_session):
+    """Planted leak: a train doc sharing a 3-gram with a val doc must be
+    flagged with the exact position count; clean train docs must be 0.
+    doc_ids chosen so the md5 split buckets put them where planted
+    (checked inline)."""
+    import hashlib
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import cross_split_leakage
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+
+    val_ids = [i for i in range(2000) if bucket(i) < 50][:2]
+    train_ids = [i for i in range(2000) if bucket(i) >= 100][:3]
+    leak = "alpha beta gamma"
+    rows = [
+        (val_ids[0], f"xx yy {leak} zz"),
+        (val_ids[1], "unrelated val words here"),
+        # train doc with the leaked 3-gram twice (two positions)
+        (train_ids[0], f"{leak} filler {leak}"),
+        (train_ids[1], "totally clean train doc"),
+        (train_ids[2], "unrelated val words here"),  # full-text leak: 2
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = cross_split_leakage(
+        ray.data.from_pandas(df).repartition(3), n=3) \
+        .to_pandas().set_index("doc_id")
+    assert len(got) == 3
+    assert got.loc[train_ids[0], "n_hits"] == 2
+    assert got.loc[train_ids[0], "contaminated"] == 1
+    assert got.loc[train_ids[1], "n_hits"] == 0
+    assert got.loc[train_ids[1], "contaminated"] == 0
+    assert got.loc[train_ids[2], "n_hits"] == 2   # 4 tokens -> 2 grams
