@@ -736,6 +736,17 @@ def q_quality_classifier(sf_dir: str):
     return scored
 
 
+def q_winnow_dup_pairs(sf_dir: str):
+    """MOSS fingerprint-collision near-dup candidates (SQL-value-exact,
+    unlike the probabilistic MinHash/SimHash family)."""
+    return textops.winnow_dup_pairs(_docs_ds(sf_dir), min_shared=5)
+
+
+def q_top_terms_by_source(sf_dir: str):
+    """Per-source exact top-3 terms (keyed combiner + per-key top-k)."""
+    return textops.top_terms_by(_docs_ds(sf_dir), key_col="source", k=3)
+
+
 def q_cross_split_leakage(sf_dir: str):
     """Train/val 3-gram leakage audit (exact distributed hash semi-join,
     both sides streaming — no broadcast)."""
@@ -1090,6 +1101,8 @@ def queries() -> dict:
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontaminate": q_decontaminate,
         "cross_split_leakage": q_cross_split_leakage,
+        "winnow_dup_pairs": q_winnow_dup_pairs,
+        "top_terms_by_source": q_top_terms_by_source,
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
         "contamination": q_contamination,
@@ -1648,6 +1661,8 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "decontaminate": textops.decontaminate_ngrams_sql(_DECON_PROBES,
                                                           n=3),
         "cross_split_leakage": textops.cross_split_leakage_sql(n=3),
+        "winnow_dup_pairs": textops.winnow_dup_pairs_sql(min_shared=5),
+        "top_terms_by_source": textops.top_terms_by_sql("source", k=3),
         "redact_pii": textops.redact_pii_sql(),
         "doc_chunks": textops.doc_chunks_sql(),
         "contamination": textops.contamination_probes_sql(

@@ -2036,3 +2036,137 @@ def cross_split_leakage_sql(n: int = 3, val_permille: int = 50,
     SELECT s.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
            CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
     FROM s LEFT JOIN h USING (doc_id) WHERE s.split = 'train'"""
+
+
+# ------------------------------------------- winnowing dup candidates ----
+def winnow_dup_pairs(docs_ds, min_shared: int = 5, k: int = 8, w: int = 16,
+                     n_buckets: int = 64, group_cap: int = 10_000,
+                     id_col: str = "doc_id"):
+    """MOSS-style near-dup candidates from winnowing fingerprint
+    collisions: doc pairs sharing >= min_shared selected fingerprints,
+    with the shared count. Unlike MinHash/SimHash this is EXACTLY
+    SQL-expressible (the fingerprint selection is deterministic), so it
+    is the near-dup operator with a value-hash oracle.
+
+    Scale shape: (fp, doc_id) rows are hash-BUCKETED (64 groups — never
+    one task per fingerprint); each bucket pairs its fp groups locally
+    and emits (a, b) partials; groupby(a, b).sum closes the count. A
+    fingerprint shared by m docs costs O(m^2) pairs — ``group_cap``
+    skips degenerate boilerplate fingerprints (and logs how many were
+    dropped), the same escape hatch MOSS applies to common substrings."""
+    from ray.data.aggregate import Sum
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        fps = winnow_batch(batch, k=k, w=w, id_col=id_col)
+        bkt = np.fromiter(
+            (int(f[:4], 16) % n_buckets for f in fps["fp"].to_pylist()),
+            np.int64, fps.num_rows)
+        return fps.append_column("bucket", pa.array(bkt))
+
+    def pair_bucket(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("fp", sort=False):
+            ids = np.sort(grp[id_col].to_numpy(np.int64))
+            if len(ids) < 2 or len(ids) > group_cap:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.extend(ids[ii].tolist())
+            out_b.extend(ids[jj].tolist())
+        df = pd.DataFrame({"a": out_a, "b": out_b})
+        cnt = df.groupby(["a", "b"], sort=False).size() if len(df) else None
+        if cnt is None:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "shared": pa.array([], pa.int64())})
+        cnt = cnt.reset_index(name="shared")
+        return pa.table({"a": pa.array(cnt["a"], pa.int64()),
+                         "b": pa.array(cnt["b"], pa.int64()),
+                         "shared": pa.array(cnt["shared"], pa.int64())})
+
+    pairs = (docs_ds.select_columns([id_col, "text"])
+             .map_batches(fp_rows, batch_format="pyarrow")
+             .groupby("bucket").map_groups(pair_bucket,
+                                           batch_format="pandas")
+             .groupby(["a", "b"]).aggregate(Sum("shared",
+                                                alias_name="shared")))
+    return pairs.filter(expr=f"shared >= {int(min_shared)}")
+
+
+def winnow_dup_pairs_sql(min_shared: int = 5) -> str:
+    return f"""
+    WITH pos AS (SELECT doc_id, text,
+                        unnest(generate_series(1,
+                            greatest(length(text) - 7, 1))) AS i
+                 FROM documents),
+    g AS (SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 8)) AS h
+          FROM pos),
+    w AS (SELECT doc_id, i,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+                     AS sel
+          FROM g),
+    fps AS (SELECT DISTINCT doc_id, sel AS fp FROM w WHERE i >= 16)
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(count(*) AS BIGINT) AS shared
+    FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+    HAVING count(*) >= {min_shared}"""
+
+
+# ------------------------------------------------ per-key top terms ------
+def top_terms_by(docs_ds, key_col: str = "source", k: int = 3,
+                 text_col: str = "text"):
+    """Per-group exact top-k terms (count desc, term asc) — the keyed
+    generalization of ``top_terms``: per-batch (key, term, n) combiner
+    partials keep the shuffle (keys x vocabulary)-sized, the final
+    per-key top-k runs one small task per key (key cardinality is
+    domain-bounded: sources/domains/langs)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ctrs: dict[str, Counter] = {}
+        for key, t in zip(batch[key_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            ctrs.setdefault(key, Counter()).update(
+                LOWER_WORD_RE.findall(t.lower()))
+        ks, ts, ns = [], [], []
+        for key, ctr in ctrs.items():
+            for term, n in ctr.items():
+                ks.append(key)
+                ts.append(term)
+                ns.append(n)
+        return pa.table({key_col: pa.array(ks, pa.string()),
+                         "term": pa.array(ts, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["n", "term"],
+                          ascending=[False, True]).head(k)
+        return pa.table({key_col: pa.array(g[key_col], pa.string()),
+                         "term": pa.array(g["term"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "term_rank": pa.array(
+                             np.arange(1, len(g) + 1, dtype=np.int64))})
+
+    return (docs_ds.select_columns([key_col, text_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "term"]).aggregate(Sum("n", alias_name="n"))
+            .groupby(key_col).map_groups(topk, batch_format="pandas"))
+
+
+def top_terms_by_sql(key_col: str = "source", k: int = 3) -> str:
+    return f"""
+    WITH t AS (SELECT {key_col},
+                      unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS term
+               FROM documents),
+    c AS (SELECT {key_col}, term, count(*) AS n FROM t
+          GROUP BY {key_col}, term)
+    SELECT {key_col}, term, CAST(n AS BIGINT) AS n,
+           CAST(rnk AS BIGINT) AS term_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY {key_col}
+                                       ORDER BY n DESC, term) AS rnk
+          FROM c)
+    WHERE rnk <= {k}"""

@@ -1061,3 +1061,51 @@ def test_cross_split_leakage_planted(ray_session):
     assert got.loc[train_ids[1], "n_hits"] == 0
     assert got.loc[train_ids[1], "contaminated"] == 0
     assert got.loc[train_ids[2], "n_hits"] == 2   # 4 tokens -> 2 grams
+
+
+def test_winnow_dup_pairs_planted(planted_docs):
+    """Exact duplicates share every fingerprint; near-identical docs share
+    most; unrelated short-vocab docs stay under a high min_shared."""
+    from seo_crawler_ray.pipelines.textops import winnow_dup_pairs
+    got = winnow_dup_pairs(planted_docs, min_shared=10).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert (0, 64) in pairs            # exact dup: identical fp sets
+    assert (60, 61) in pairs           # one-word edit: most fps survive
+    srow = got[(got["a"] == 0) & (got["b"] == 64)].iloc[0]
+    # identical text -> shared == each doc's full fp count
+    from seo_crawler_ray.pipelines.textops import winnow_batch
+    import pyarrow as pa
+    t0 = planted_docs.to_pandas().iloc[0]
+    fps0 = winnow_batch(pa.table({"doc_id": [0], "text": [t0["text"]]}))
+    assert srow["shared"] == fps0.num_rows
+
+
+def test_winnow_dup_pairs_group_cap_skips_boilerplate(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import winnow_dup_pairs
+    # 30 identical docs: with group_cap below 30 every fp group is
+    # skipped -> no pairs at all (the degenerate-input escape hatch)
+    df = pd.DataFrame({"doc_id": range(30),
+                       "text": ["same text body repeated here ok"] * 30})
+    got = winnow_dup_pairs(ray.data.from_pandas(df), min_shared=1,
+                           group_cap=10).to_pandas()
+    assert len(got) == 0
+
+
+def test_top_terms_by_matches_bruteforce(zipf_docs):
+    import re
+    import ray.data
+    from collections import Counter
+    from seo_crawler_ray.pipelines.textops import top_terms_by
+    pdf = zipf_docs.to_pandas()
+    pdf["source"] = ["s" + str(i % 3) for i in range(len(pdf))]
+    ds = ray.data.from_pandas(pdf).repartition(8)
+    got = top_terms_by(ds, key_col="source", k=4).to_pandas()
+    for src, g in pdf.groupby("source"):
+        ctr: Counter = Counter()
+        for t in g["text"]:
+            ctr.update(re.findall(r"[a-z0-9]+", t.lower()))
+        want = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        sub = got[got["source"] == src].sort_values("term_rank")
+        assert list(sub["term"]) == [t for t, _ in want]
+        assert list(sub["n"]) == [n for _, n in want]
