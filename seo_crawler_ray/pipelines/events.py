@@ -315,3 +315,139 @@ def event_type_stats(events_ds) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     out["sum_cents"] = out["sum_cents"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ----------------------------------------------------- funnel analysis ----
+def funnel(events_ds, steps: tuple[str, ...] = ("view", "click",
+                                                "purchase"),
+           n_buckets: int = 64):
+    """Ordered funnel: how many users reach each step, where step i+1
+    counts only events strictly AFTER the user's step-i completion time
+    (min-ts cascade — the standard product-analytics funnel).
+
+    The cascade needs each user's events together, so this is one shuffle
+    of (bucket, user, ts, step) rows — bucketed by user hash (64 groups,
+    never one task per user) with only step-relevant events and two
+    narrow columns surviving the read. Per-step output is a handful of
+    partial rows per bucket + a tiny groupby sum."""
+    from ray.data.aggregate import Sum
+
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def rows(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["event_type"],
+                        value_set=pa.array(list(steps)))
+        b = batch.filter(mask)
+        uid = b["user_id"].cast(pa.int64())
+        si = pa.array([step_idx[t] for t in b["event_type"].to_pylist()],
+                      pa.int64())
+        return pa.table({
+            "bucket": pc.cast(
+                pc.bit_wise_and(uid, n_buckets - 1), pa.int32()),
+            "user_id": uid,
+            "ts_us": _t_us(b["ts"]),
+            "step_i": si})
+
+    def funnel_bucket(g: pd.DataFrame) -> pa.Table:
+        reached = np.zeros(len(steps), dtype=np.int64)
+        for _, u in g.groupby("user_id", sort=False):
+            t_prev = -1
+            for i in range(len(steps)):
+                cand = u.loc[(u["step_i"] == i) & (u["ts_us"] > t_prev),
+                             "ts_us"]
+                if cand.empty:
+                    break
+                t_prev = int(cand.min())
+                reached[i] += 1
+        return pa.table({"step": pa.array(np.arange(1, len(steps) + 1,
+                                                    dtype=np.int64)),
+                         "n_users": pa.array(reached)})
+
+    agg = (events_ds.select_columns(["user_id", "ts", "event_type"])
+           .map_batches(rows, batch_format="pyarrow")
+           .groupby("bucket").map_groups(funnel_bucket,
+                                         batch_format="pandas")
+           .groupby("step").aggregate(Sum("n_users",
+                                          alias_name="n_users")))
+
+    def name_step(batch: pa.Table) -> pa.Table:
+        names = [steps[int(s) - 1] for s in batch["step"].to_pylist()]
+        return batch.append_column("step_name",
+                                   pa.array(names, pa.string()))
+
+    return agg.map_batches(name_step, batch_format="pyarrow")
+
+
+def funnel_sql(steps: tuple[str, ...] = ("view", "click",
+                                         "purchase")) -> str:
+    ctes, prev = [], None
+    for i, s in enumerate(steps, 1):
+        esc = s.replace("'", "''")
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{esc}' GROUP BY user_id)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN {prev} USING (user_id) WHERE e.event_type = '{esc}' "
+                f"AND e.ts > {prev}.t GROUP BY e.user_id)")
+        prev = f"s{i}"
+    sels = [f"SELECT CAST({i} AS BIGINT) AS step, "
+            f"'{s}' AS step_name, "
+            f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
+            for i, s in enumerate(steps, 1)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sels)
+
+
+# -------------------------------------------------- retention cohorts -----
+_DAY_US = 86_400_000_000
+
+
+def retention_cohorts(events_ds, n_buckets: int = 64):
+    """Classic retention matrix: cohort day = each user's first active
+    day; output = (cohort_day, activity_day, n distinct users active).
+    One shuffle: (bucket, user, day) rows bucketed by user hash; each
+    bucket computes its users' cohorts AND distinct-day sets in one task
+    and emits (cohort, day, partial count) rows; the final groupby sums
+    tiny partials."""
+    from ray.data.aggregate import Sum
+
+    def rows(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].cast(pa.int64())
+        day = pc.divide(_t_us(batch["ts"]), _DAY_US)
+        return pa.table({
+            "bucket": pc.cast(
+                pc.bit_wise_and(uid, n_buckets - 1), pa.int32()),
+            "user_id": uid,
+            "day": day})
+
+    def cohort_bucket(g: pd.DataFrame) -> pa.Table:
+        d = g[["user_id", "day"]].drop_duplicates()
+        cohort = d.groupby("user_id")["day"].min().rename("cohort_day")
+        j = d.join(cohort, on="user_id")
+        cnt = (j.groupby(["cohort_day", "day"], sort=False).size()
+               .reset_index(name="n_users"))
+        return pa.table({
+            "cohort_day": pa.array(cnt["cohort_day"].to_numpy(np.int64)),
+            "activity_day": pa.array(cnt["day"].to_numpy(np.int64)),
+            "n_users": pa.array(cnt["n_users"].to_numpy(np.int64))})
+
+    return (events_ds.select_columns(["user_id", "ts"])
+            .map_batches(rows, batch_format="pyarrow")
+            .groupby("bucket").map_groups(cohort_bucket,
+                                          batch_format="pandas")
+            .groupby(["cohort_day", "activity_day"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def retention_cohorts_sql() -> str:
+    return """
+    WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+               FROM events),
+    f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, day FROM d)
+    SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+           CAST(a.day AS BIGINT) AS activity_day,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id) GROUP BY f.cohort_day, a.day"""

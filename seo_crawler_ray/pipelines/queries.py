@@ -979,6 +979,17 @@ def q_signup_window_events(sf_dir: str):
         out_cols=("event_id", "n_follow"))
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel (min-ts cascade per user,
+    user-hash-bucketed single shuffle)."""
+    return events.funnel(_events_ds(sf_dir))
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Retention matrix: first-active-day cohort x activity day."""
+    return events.retention_cohorts(_events_ds(sf_dir))
+
+
 def q_sessionize(sf_dir: str):
     return events.sessionize(_events_ds(sf_dir))
 
@@ -1027,6 +1038,8 @@ def queries() -> dict:
         "top_events_per_user": q_top_events_per_user,
         "distinct_event_types": q_distinct_event_types,
         "sessionize": q_sessionize,
+        "events_funnel": q_events_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "event_type_stats": q_event_type_stats,
         "events_asof_order": q_events_asof_order,
         "purchase_asof_click": q_purchase_asof_click,
@@ -1833,6 +1846,8 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name""",
+        "events_funnel": events.funnel_sql(),
+        "retention_cohorts": events.retention_cohorts_sql(),
         "sessionize": """
             WITH g AS (
               SELECT user_id, ts,

@@ -77,3 +77,57 @@ def test_order_event_window_parity(ray_session, ev_od):
     want = pd.DataFrame(rows, columns=["o_orderkey", "n_events"]) \
         .sort_values("o_orderkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_funnel_cascade_ordering(ray_session):
+    """The min-ts cascade: a user whose purchase precedes their click must
+    NOT count at the purchase step; strictly-after semantics pinned."""
+    import ray.data
+    from seo_crawler_ray.pipelines.events import funnel
+    base = pd.Timestamp("2024-01-01")
+
+    def ev(uid, typ, minute):
+        return {"event_id": uid * 100 + minute,
+                "ts": base + pd.Timedelta(minutes=minute),
+                "user_id": uid, "event_type": typ,
+                "value": 1.0, "props": ""}
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, "view", 0), ev(1, "click", 5), ev(1, "purchase", 10),
+        # user 2: purchase BEFORE click -> stops at click
+        ev(2, "view", 0), ev(2, "purchase", 1), ev(2, "click", 2),
+        # user 3: view only
+        ev(3, "view", 0),
+        # user 4: no view at all -> counts nowhere
+        ev(4, "click", 0), ev(4, "purchase", 1),
+    ]
+    got = funnel(ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)) \
+        .to_pandas().set_index("step")
+    assert got.loc[1, "n_users"] == 3         # users 1,2,3
+    assert got.loc[2, "n_users"] == 2         # users 1,2
+    assert got.loc[3, "n_users"] == 1         # user 1 only
+    assert got.loc[3, "step_name"] == "purchase"
+
+
+def test_retention_cohorts_matrix(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.events import retention_cohorts
+    base = pd.Timestamp("2024-01-01")
+
+    def ev(uid, day, i=0):
+        return {"event_id": uid * 1000 + day * 10 + i,
+                "ts": base + pd.Timedelta(days=day, minutes=i),
+                "user_id": uid, "event_type": "view",
+                "value": 0.0, "props": ""}
+
+    rows = [ev(1, 0), ev(1, 0, 1), ev(1, 2),          # cohort d0: active d0,d2
+            ev(2, 0), ev(2, 1),                       # cohort d0: active d0,d1
+            ev(3, 1), ev(3, 2)]                       # cohort d1: active d1,d2
+    got = retention_cohorts(
+        ray.data.from_pandas(pd.DataFrame(rows)).repartition(2)) \
+        .to_pandas()
+    d0 = int(base.value // 1000 // 86_400_000_000)
+    m = {(int(r["cohort_day"]) - d0, int(r["activity_day"]) - d0):
+         int(r["n_users"]) for _, r in got.iterrows()}
+    assert m == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 1): 1, (1, 2): 1}
