@@ -27,7 +27,8 @@ from seo_crawler_ray.pipelines import queries as _q
 _NO_ORACLE = {"minhash_near_dups", "simhash_near_dups",
               "crawl_wave_metrics", "ann_topk_ivf", "ann_topk_lsh",
               "embedding_dup_pairs_lsh", "kmeans_clusters",
-              "semantic_dedup", "quality_classifier"}
+              "semantic_dedup", "quality_classifier",
+              "distinct_users_daily_hll"}
 
 
 def entry() -> Any:

@@ -979,6 +979,18 @@ def q_signup_window_events(sf_dir: str):
         out_cols=("event_id", "n_follow"))
 
 
+def q_distinct_users_daily(sf_dir: str):
+    """Exact distinct users per day (two-level dedup combiner)."""
+    return events.distinct_users_daily(_events_ds(sf_dir))
+
+
+def q_distinct_users_daily_hll(sf_dir: str):
+    """HyperLogLog bounded-state variant (p=12): register partials merge
+    by max, shuffle volume independent of user cardinality. No SQL
+    oracle (sketch); accuracy vs exact pinned by pytest."""
+    return events.distinct_users_daily_hll(_events_ds(sf_dir))
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered view->click->purchase funnel (min-ts cascade per user,
     user-hash-bucketed single shuffle)."""
@@ -1040,6 +1052,8 @@ def queries() -> dict:
         "sessionize": q_sessionize,
         "events_funnel": q_events_funnel,
         "retention_cohorts": q_retention_cohorts,
+        "distinct_users_daily": q_distinct_users_daily,
+        "distinct_users_daily_hll": q_distinct_users_daily_hll,
         "event_type_stats": q_event_type_stats,
         "events_asof_order": q_events_asof_order,
         "purchase_asof_click": q_purchase_asof_click,
@@ -1846,6 +1860,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name""",
+        "distinct_users_daily": events.distinct_users_daily_sql(),
         "events_funnel": events.funnel_sql(),
         "retention_cohorts": events.retention_cohorts_sql(),
         "sessionize": """

@@ -131,3 +131,37 @@ def test_retention_cohorts_matrix(ray_session):
     m = {(int(r["cohort_day"]) - d0, int(r["activity_day"]) - d0):
          int(r["n_users"]) for _, r in got.iterrows()}
     assert m == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 1): 1, (1, 2): 1}
+
+
+def test_distinct_users_daily_exact_and_hll(ray_session):
+    """Exact counts match brute force; the HLL sketch lands within 5% on
+    a 5,000-user day and is EXACT under the small-range correction for
+    tiny days (sequential-merge equivalence: partial order can't matter
+    because registers merge by max)."""
+    import ray.data
+    from seo_crawler_ray.pipelines.events import (distinct_users_daily,
+                                                  distinct_users_daily_hll)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    # day 0: 5000 distinct users, two events each
+    for u in range(5000):
+        for rep in range(2):
+            rows.append({"event_id": eid, "ts": base, "user_id": u,
+                         "event_type": "view", "value": 0.0, "props": ""})
+            eid += 1
+    # day 1: 7 distinct users
+    for u in range(7):
+        rows.append({"event_id": eid,
+                     "ts": base + pd.Timedelta(days=1),
+                     "user_id": 100000 + u, "event_type": "view",
+                     "value": 0.0, "props": ""})
+        eid += 1
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(8)
+    d0 = int(base.value // 1000 // 86_400_000_000)
+    exact = distinct_users_daily(ds).to_pandas().set_index("day")
+    assert exact.loc[d0, "n_users"] == 5000
+    assert exact.loc[d0 + 1, "n_users"] == 7
+    est = distinct_users_daily_hll(ds).to_pandas().set_index("day")
+    assert abs(est.loc[d0, "n_users_est"] - 5000) / 5000 < 0.05
+    assert est.loc[d0 + 1, "n_users_est"] == 7
