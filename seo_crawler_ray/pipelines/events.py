@@ -545,3 +545,67 @@ def distinct_users_daily_hll(events_ds):
     return (events_ds.select_columns(["ts", "user_id"])
             .map_batches(partials, batch_format="pyarrow")
             .groupby("day").map_groups(merge, batch_format="pandas"))
+
+
+# ------------------------------------------- per-type value percentiles ---
+EVENT_QUANTILE_QS = (25, 50, 75, 90, 99)
+
+
+def value_quantiles_by_type(events_ds,
+                            qs: tuple[int, ...] = EVENT_QUANTILE_QS):
+    """Exact per-event-type value percentiles over cents-integerized
+    values — the keyed bounded-histogram combiner (same quantile contract
+    as textops.length_quantiles, via the shared _hist_quantile_values
+    core): shuffle moves one row per (type, distinct cents, batch); the
+    reduce is (types x distinct values)-sized — bounded by the value
+    domain, not the event count."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .textops import _hist_quantile_values
+
+    def counts(batch: pa.Table) -> pa.Table:
+        cents = round_half_up(
+            np.asarray(batch["value"].to_pylist()) * 100)
+        df = pd.DataFrame({"k": batch["event_type"].to_pylist(),
+                           "c": cents})
+        part = (df.groupby(["k", "c"], sort=False).size()
+                .reset_index(name="cnt"))
+        return pa.table({"k": pa.array(part["k"], pa.string()),
+                         "c": pa.array(part["c"].to_numpy(np.int64)),
+                         "cnt": pa.array(part["cnt"].to_numpy(np.int64))})
+
+    hist = (events_ds.select_columns(["event_type", "value"])
+            .map_batches(counts, batch_format="pyarrow")
+            .groupby(["k", "c"]).aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+    out_k, out_q, out_v = [], [], []
+    for k, g in hist.groupby("k", sort=True):
+        g = g.sort_values("c")
+        vals = _hist_quantile_values(g["c"].to_numpy(),
+                                     g["cnt"].to_numpy(), qs)
+        out_k.extend([k] * len(qs))
+        out_q.extend(int(q) for q in qs)
+        out_v.extend(vals)
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(out_k, pa.string()),
+        "q": pa.array(out_q, pa.int64()),
+        "cents": pa.array(out_v, pa.int64())}))
+
+
+def value_quantiles_by_type_sql(
+        qs: tuple[int, ...] = EVENT_QUANTILE_QS) -> str:
+    vals = ", ".join(f"({q})" for q in qs)
+    return f"""
+    WITH v AS (SELECT event_type AS k,
+                      CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    nn AS (SELECT k, count(*) AS n FROM v GROUP BY k),
+    cc AS (SELECT k, c, count(*) AS cnt FROM v GROUP BY k, c),
+    cum AS (SELECT k, c,
+                   sum(cnt) OVER (PARTITION BY k ORDER BY c) AS cf
+            FROM cc)
+    SELECT cum.k AS event_type, CAST(q AS BIGINT) AS q,
+           CAST(min(c) AS BIGINT) AS cents
+    FROM (VALUES {vals}) AS qs(q), cum JOIN nn ON cum.k = nn.k
+    WHERE cf >= (q * nn.n + 99) // 100
+    GROUP BY cum.k, q"""

@@ -979,6 +979,11 @@ def q_signup_window_events(sf_dir: str):
         out_cols=("event_id", "n_follow"))
 
 
+def q_event_value_quantiles(sf_dir: str):
+    """Exact per-event-type value percentiles (keyed histogram)."""
+    return events.value_quantiles_by_type(_events_ds(sf_dir))
+
+
 def q_distinct_users_daily(sf_dir: str):
     """Exact distinct users per day (two-level dedup combiner)."""
     return events.distinct_users_daily(_events_ds(sf_dir))
@@ -1052,6 +1057,7 @@ def queries() -> dict:
         "sessionize": q_sessionize,
         "events_funnel": q_events_funnel,
         "retention_cohorts": q_retention_cohorts,
+        "event_value_quantiles": q_event_value_quantiles,
         "distinct_users_daily": q_distinct_users_daily,
         "distinct_users_daily_hll": q_distinct_users_daily_hll,
         "event_type_stats": q_event_type_stats,
@@ -1860,6 +1866,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name""",
+        "event_value_quantiles": events.value_quantiles_by_type_sql(),
         "distinct_users_daily": events.distinct_users_daily_sql(),
         "events_funnel": events.funnel_sql(),
         "retention_cohorts": events.retention_cohorts_sql(),

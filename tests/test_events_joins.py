@@ -165,3 +165,24 @@ def test_distinct_users_daily_exact_and_hll(ray_session):
     est = distinct_users_daily_hll(ds).to_pandas().set_index("day")
     assert abs(est.loc[d0, "n_users_est"] - 5000) / 5000 < 0.05
     assert est.loc[d0 + 1, "n_users_est"] == 7
+
+
+def test_event_value_quantiles_bruteforce(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.arrowutil import round_half_up
+    from seo_crawler_ray.pipelines.events import value_quantiles_by_type
+    rng = np.random.RandomState(31)
+    base = pd.Timestamp("2024-01-01")
+    rows = [{"event_id": i, "ts": base, "user_id": i % 9,
+             "event_type": ["view", "click"][i % 2],
+             "value": float(rng.exponential(20)), "props": ""}
+            for i in range(400)]
+    pdf = pd.DataFrame(rows)
+    got = value_quantiles_by_type(
+        ray.data.from_pandas(pdf).repartition(5)).to_pandas()
+    for et, g in pdf.groupby("event_type"):
+        cents = sorted(round_half_up(g["value"].to_numpy() * 100))
+        n = len(cents)
+        sub = got[got["event_type"] == et]
+        for q, v in zip(sub["q"], sub["cents"]):
+            assert v == cents[(q * n + 99) // 100 - 1]

@@ -176,3 +176,21 @@ def test_no_bankers_rounding_in_pipelines():
     assert not offenders, \
         "banker's rounding in oracle paths (use arrowutil.round_half_up):\n" \
         + "\n".join(offenders)
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=60), min_size=1, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_tokenizer_matches_duckdb_regexp(texts):
+    """The [a-z0-9]+ token stream — the contract every text oracle rests
+    on — must agree between Python re.findall(lower()) and DuckDB
+    regexp_extract_all(lower()) over the printable-ASCII corpus domain."""
+    import duckdb
+    from seo_crawler_ray.pipelines.textops import LOWER_WORD_RE
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT regexp_extract_all(lower(t), '[a-z0-9]+') FROM "
+        "(SELECT unnest(?) AS t)", [texts]).fetchall()
+    for t, (sql_toks,) in zip(texts, got):
+        assert LOWER_WORD_RE.findall(t.lower()) == sql_toks
