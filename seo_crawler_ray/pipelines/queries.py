@@ -1015,6 +1015,91 @@ def q_event_type_stats(sf_dir: str):
     return events.event_type_stats(_events_ds(sf_dir))
 
 
+def q_orders_rollup(sf_dir: str):
+    """ROLLUP(region, nation) revenue: the finest (region, nation) level
+    is one broadcast-dim attach + groupby over streamed orders; the
+    region subtotals and grand total are derived from those ~25 finest
+    partials on the driver (a rollup never needs a second fact pass).
+    Subtotal rows use '' for the rolled-up column, mirrored by COALESCE
+    in the SQL GROUP BY ROLLUP oracle."""
+    from ray.data.aggregate import Count, Sum
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    region = pd.read_parquet(os.path.join(sf_dir, "region.parquet"))
+    dim = (cust.merge(nation[["n_nationkey", "n_name", "n_regionkey"]],
+                      left_on="c_nationkey", right_on="n_nationkey")
+           .merge(region, left_on="n_regionkey", right_on="r_regionkey"))
+    lookup_ref = ray.put(dict(zip(dim["c_custkey"],
+                                  zip(dim["r_name"], dim["n_name"]))))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        rn = [lookup.get(k, ("", "")) for k in
+              batch["o_custkey"].to_pylist()]
+        cents = arrowutil.round_half_up(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table({"region": pa.array([x[0] for x in rn]),
+                         "nation": pa.array([x[1] for x in rn]),
+                         "cents": pa.array(cents)})
+
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_totalprice"])
+    finest = (orders.map_batches(attach, batch_format="pyarrow")
+              .groupby(["region", "nation"])
+              .aggregate(Sum("cents", alias_name="total_cents"),
+                         Count(alias_name="order_cnt"))
+              .to_pandas())               # ~(regions x nations) rows
+    finest["total_cents"] = finest["total_cents"].astype("int64")
+    finest["order_cnt"] = finest["order_cnt"].astype("int64")
+    sub = (finest.groupby("region", as_index=False)
+           [["total_cents", "order_cnt"]].sum())
+    sub["nation"] = ""
+    total = pd.DataFrame([{
+        "region": "", "nation": "",
+        "total_cents": finest["total_cents"].sum(),
+        "order_cnt": finest["order_cnt"].sum()}])
+    out = pd.concat([finest, sub, total], ignore_index=True)
+    out = out[["region", "nation", "total_cents", "order_cnt"]]
+    out["total_cents"] = out["total_cents"].astype("int64")
+    out["order_cnt"] = out["order_cnt"].astype("int64")
+    return out.sort_values(["region", "nation"]).reset_index(drop=True)
+
+
+def q_customer_running_revenue(sf_dir: str):
+    """Per-customer running revenue (the ordered-window primitive):
+    orders bucketed by customer hash (one shuffle, 64 groups), each
+    bucket sorts its customers' orders by (date, key) and emits the
+    int-cents cumulative sum — SUM() OVER (PARTITION BY ... ORDER BY
+    ...) semantics, integer-exact."""
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        cust = batch["o_custkey"].cast(pa.int64())
+        cents = arrowutil.round_half_up(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table({
+            "bucket": pa.compute.cast(
+                pa.compute.bit_wise_and(cust, 63), pa.int32()),
+            "o_custkey": cust,
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_orderdate": batch["o_orderdate"],
+            "cents": pa.array(cents)})
+
+    def running(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cum = g.groupby("o_custkey", sort=False)["cents"].cumsum()
+        return pa.table({
+            "o_custkey": pa.array(g["o_custkey"].to_numpy(np.int64)),
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64)),
+            "cum_cents": pa.array(cum.to_numpy(np.int64))})
+
+    return (orders.map_batches(rows, batch_format="pyarrow")
+            .groupby("bucket").map_groups(running, batch_format="pandas"))
+
+
 def q_top_customers(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
@@ -1065,6 +1150,8 @@ def queries() -> dict:
         "purchase_asof_click": q_purchase_asof_click,
         "signup_window_events": q_signup_window_events,
         "top_customers": q_top_customers,
+        "orders_rollup": q_orders_rollup,
+        "customer_running_revenue": q_customer_running_revenue,
         "orders_by_nation": q_orders_by_nation,
         "orders_by_region": q_orders_by_region,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1916,6 +2003,24 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
              AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 7 DAY
             WHERE s.event_type = 'signup'
             GROUP BY s.event_id""",
+        "orders_rollup": """
+            SELECT coalesce(r.r_name, '') AS region,
+                   coalesce(n.n_name, '') AS nation,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   CAST(count(*) AS BIGINT) AS order_cnt
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP (r.r_name, n.n_name)""",
+        "customer_running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)
+                        AS BIGINT) AS cum_cents
+            FROM orders""",
         "top_customers": """
             WITH agg AS (
               SELECT o_custkey,
