@@ -186,3 +186,44 @@ def test_event_value_quantiles_bruteforce(ray_session):
         sub = got[got["event_type"] == et]
         for q, v in zip(sub["q"], sub["cents"]):
             assert v == cents[(q * n + 99) // 100 - 1]
+
+
+def test_orders_rollup_levels_consistent(ray_session):
+    """Rollup invariants on the real sf0.001 tables: nation rows sum to
+    their region subtotal, region subtotals sum to the grand total, and
+    the grand total equals the raw order count/revenue."""
+    from seo_crawler_ray.pipelines.queries import q_orders_rollup
+    from seo_crawler_ray.pipelines.arrowutil import round_half_up
+    out = q_orders_rollup("/root/testdata/sf0.001")
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    grand = out[(out["region"] == "") & (out["nation"] == "")].iloc[0]
+    assert grand["order_cnt"] == len(orders)
+    assert grand["total_cents"] == int(
+        round_half_up(orders["o_totalprice"].to_numpy() * 100).sum())
+    finest = out[(out["region"] != "") & (out["nation"] != "")]
+    subs = out[(out["region"] != "") & (out["nation"] == "")]
+    for _, s in subs.iterrows():
+        f = finest[finest["region"] == s["region"]]
+        assert f["total_cents"].sum() == s["total_cents"]
+        assert f["order_cnt"].sum() == s["order_cnt"]
+    assert subs["order_cnt"].sum() == grand["order_cnt"]
+
+
+def test_customer_running_revenue_monotone_and_total(ray_session):
+    from seo_crawler_ray.pipelines.queries import q_customer_running_revenue
+    from seo_crawler_ray.pipelines.arrowutil import round_half_up
+    got = q_customer_running_revenue("/root/testdata/sf0.001").to_pandas()
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    assert len(got) == len(orders)
+    # per customer: running max == last cumsum == customer total
+    want_tot = orders.assign(
+        cents=round_half_up(orders["o_totalprice"].to_numpy() * 100)) \
+        .groupby("o_custkey")["cents"].sum()
+    got_max = got.groupby("o_custkey")["cum_cents"].max()
+    assert (got_max == want_tot.loc[got_max.index]).all()
+    # cumsum along the declared order is non-decreasing (prices > 0)
+    o = orders.set_index("o_orderkey")["o_orderdate"]
+    got["d"] = got["o_orderkey"].map(o)
+    for _, g in got.groupby("o_custkey"):
+        g = g.sort_values(["d", "o_orderkey"])
+        assert (np.diff(g["cum_cents"].to_numpy()) > 0).all()
