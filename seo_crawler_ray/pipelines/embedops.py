@@ -496,3 +496,77 @@ def semantic_dedup(emb_ds, k: int = 8, tau: float = 0.95,
                          fn_kwargs={"cent_ref": cent_ref})
             .groupby("cluster")
             .map_groups(dedup_cluster, batch_format="pandas"))
+
+
+# ------------------------------------------------- kNN label voting -------
+def knn_label_accuracy(emb_ds, n_queries: int = 32, k: int = 10):
+    """kNN classification over the embedding space: for each query vector
+    (vec_id < n_queries), the majority label among its k nearest
+    neighbors (self excluded; similarity contract identical to
+    ``ann_topk``: round(cos, 6) desc, vec_id asc; vote ties break toward
+    the smaller label). The standard embedding-quality probe (kNN
+    accuracy) for deciding whether an embedding column is worth
+    clustering/dedup'ing on.
+
+    Scale shape: neighbor search is the streaming ``ann_topk`` pass
+    (broadcast query matrix, per-batch top-k partials); the label join
+    touches only the n_queries*(k+1) winning ids via one pruned filter
+    pass — never a full id->label broadcast."""
+    import pandas as pd
+
+    top = ann_topk(emb_ds, n_queries=n_queries, k=k + 1)
+    top = top[top["neighbor_id"] != top["query_id"]]
+    top = (top.sort_values(["query_id", "rank"])
+           .groupby("query_id").head(k))
+    need = sorted(set(top["neighbor_id"]) | set(top["query_id"]))
+    need_ref = ray.put(set(need))
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), np.int64)
+        keep = np.fromiter((int(i) in want for i in ids), bool, len(ids))
+        return pa.table({
+            "vec_id": pa.array(ids[keep]),
+            "label": batch["label"].cast(pa.int64()).filter(
+                pa.array(keep))})
+
+    labels = (emb_ds.select_columns(["vec_id", "label"])
+              .map_batches(label_rows, batch_format="pyarrow")
+              .to_pandas().set_index("vec_id")["label"])   # tiny: |need|
+    top["nl"] = top["neighbor_id"].map(labels)
+    votes = (top.groupby(["query_id", "nl"]).size()
+             .reset_index(name="c")
+             .sort_values(["query_id", "c", "nl"],
+                          ascending=[True, False, True]))
+    pred = votes.groupby("query_id").head(1)
+    out = pd.DataFrame({
+        "query_id": pred["query_id"].to_numpy(np.int64),
+        "pred_label": pred["nl"].to_numpy(np.int64)})
+    out["true_label"] = out["query_id"].map(labels).astype(np.int64)
+    out["correct"] = (out["pred_label"] == out["true_label"]) \
+        .astype(np.int64)
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def knn_label_accuracy_sql(n_queries: int = 32, k: int = 10) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS tl
+               FROM embeddings WHERE vec_id < {n_queries}),
+    sims AS (SELECT q.query_id, q.tl, e.vec_id AS neighbor_id,
+                    CAST(e.label AS BIGINT) AS nl,
+                    round(list_cosine_similarity(q.qe, e.embedding), 6)
+                        AS sim
+             FROM q CROSS JOIN embeddings e
+             WHERE e.vec_id <> q.query_id),
+    top AS (SELECT * FROM sims
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) <= {k}),
+    votes AS (SELECT query_id, tl, nl, count(*) AS c FROM top
+              GROUP BY query_id, tl, nl),
+    pred AS (SELECT query_id, tl, nl FROM votes
+             QUALIFY row_number() OVER (PARTITION BY query_id
+                     ORDER BY c DESC, nl) = 1)
+    SELECT query_id, CAST(nl AS BIGINT) AS pred_label,
+           CAST(tl AS BIGINT) AS true_label,
+           CAST(nl = tl AS BIGINT) AS correct
+    FROM pred"""

@@ -636,6 +636,13 @@ def q_kmeans_clusters(sf_dir: str):
     return out
 
 
+def q_knn_label_accuracy(sf_dir: str):
+    """kNN majority-label classification over embeddings (embedding-
+    quality probe; ann_topk similarity contract)."""
+    return embedops.knn_label_accuracy(_emb_ds(sf_dir), n_queries=32,
+                                       k=10)
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup: k-means partition + within-cluster cosine dedup,
     keep-min-id policy. No SQL oracle (k-means fixpoint); brute-force
@@ -1155,6 +1162,51 @@ def queries() -> dict:
         "orders_by_nation": q_orders_by_nation,
         "orders_by_region": q_orders_by_region,
         "lineitem_pricing": q_lineitem_pricing,
+        # training-data operators (vs live SQL over the driver views) —
+        # BEFORE the crawl family: these are parquet-direct and cheap,
+        # most are new this round (no prior CORRECTNESS row), while every
+        # crawl-family query below already has a green r01/r02 row if a
+        # driver budget truncates the run.
+        "dedup_exact": q_dedup_exact,
+        "langid": q_langid,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_sample_split": q_doc_sample_split,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_packing": q_doc_packing,
+        "repetition_stats": q_repetition_stats,
+        "corpus_stats": q_corpus_stats,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "doc_length_quantiles_by_source": q_doc_length_quantiles_by_source,
+        "stratified_sample": q_stratified_sample,
+        "top_terms": q_top_terms,
+        "top_terms_by_source": q_top_terms_by_source,
+        "top_terms_sketch": q_top_terms_sketch,
+        "lm_surprisal": q_lm_surprisal,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_topk": q_bm25_topk,
+        "decontaminate": q_decontaminate,
+        "contamination": q_contamination,
+        "cross_split_leakage": q_cross_split_leakage,
+        "redact_pii": q_redact_pii,
+        "doc_chunks": q_doc_chunks,
+        "doc_winnow": q_doc_winnow,
+        "winnow_dup_pairs": q_winnow_dup_pairs,
+        "inverted_index": q_inverted_index,
+        "quality_classifier": q_quality_classifier,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "knn_label_accuracy": q_knn_label_accuracy,
         # crawl engine (vs sequential oracle)
         "crawl_pages": q_crawl_pages,
         "crawl_order": q_crawl_order,
@@ -1192,46 +1244,6 @@ def queries() -> dict:
         "pages_since_wave2": q_pages_since_wave2,
         "eeat_summary": q_eeat_summary,
         "crawl_wave_metrics": q_crawl_wave_metrics,
-        # training-data operators (vs live SQL over the driver views)
-        "dedup_exact": q_dedup_exact,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_topk": q_ann_topk,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
-        "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
-        "kmeans_clusters": q_kmeans_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        "langid": q_langid,
-        "quality_scores": q_quality_scores,
-        "token_counts": q_token_counts,
-        "top_terms": q_top_terms,
-        "top_terms_sketch": q_top_terms_sketch,
-        "bm25_topk": q_bm25_topk,
-        "doc_length_quantiles": q_doc_length_quantiles,
-        "doc_length_quantiles_by_source": q_doc_length_quantiles_by_source,
-        "inverted_index": q_inverted_index,
-        "corpus_stats": q_corpus_stats,
-        "quality_classifier": q_quality_classifier,
-        "stratified_sample": q_stratified_sample,
-        "lm_surprisal": q_lm_surprisal,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "decontaminate": q_decontaminate,
-        "cross_split_leakage": q_cross_split_leakage,
-        "winnow_dup_pairs": q_winnow_dup_pairs,
-        "top_terms_by_source": q_top_terms_by_source,
-        "redact_pii": q_redact_pii,
-        "doc_chunks": q_doc_chunks,
-        "contamination": q_contamination,
-        "doc_fingerprints": q_doc_fingerprints,
-        "doc_winnow": q_doc_winnow,
-        "repetition_stats": q_repetition_stats,
-        "doc_sample_split": q_doc_sample_split,
-        "doc_mixture_sample": q_doc_mixture_sample,
-        "doc_packing": q_doc_packing,
     }
 
 
@@ -1727,6 +1739,8 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             SELECT node AS doc_id, min(label) AS cluster_id,
                    CAST(node = min(label) AS BIGINT) AS keep
             FROM reach GROUP BY node""",
+        "knn_label_accuracy": embedops.knn_label_accuracy_sql(
+            n_queries=32, k=10),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 8),

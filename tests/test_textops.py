@@ -1109,3 +1109,24 @@ def test_top_terms_by_matches_bruteforce(zipf_docs):
         sub = got[got["source"] == src].sort_values("term_rank")
         assert list(sub["term"]) == [t for t, _ in want]
         assert list(sub["n"]) == [n for _, n in want]
+
+
+def test_knn_label_accuracy_clustered(ray_session):
+    """Clustered embeddings with cluster-aligned labels: kNN votes must be
+    ~perfect; output contract (one row per query, correct flag) pinned."""
+    import ray.data
+    from seo_crawler_ray.pipelines.embedops import knn_label_accuracy
+    rng = np.random.RandomState(23)
+    k_cl, d = 4, 32
+    centers = rng.normal(size=(k_cl, d)) * 8
+    E = np.vstack([centers[i % k_cl] + rng.normal(size=d) * 0.5
+                   for i in range(200)]).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(200),
+                       "embedding": [list(e) for e in E],
+                       "label": [i % k_cl for i in range(200)]})
+    out = knn_label_accuracy(ray.data.from_pandas(df).repartition(4),
+                             n_queries=16, k=5)
+    assert len(out) == 16
+    assert list(out["query_id"]) == list(range(16))
+    assert out["correct"].mean() == 1.0
+    assert (out["pred_label"] == out["true_label"]).all()
