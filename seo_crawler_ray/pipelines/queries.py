@@ -760,6 +760,12 @@ def q_cross_split_leakage(sf_dir: str):
     return textops.cross_split_leakage(_docs_ds(sf_dir), n=3)
 
 
+def q_validate_documents(sf_dir: str):
+    """Data-quality gate: per-check violation counts over the documents
+    table (nulls, length mismatches, duplicate ids)."""
+    return textops.validate_documents(_docs_ds(sf_dir))
+
+
 def q_corpus_stats(sf_dir: str):
     """Per-(source, lang) corpus composition rollup."""
     return textops.corpus_stats(_docs_ds(sf_dir))
@@ -1177,6 +1183,7 @@ def queries() -> dict:
         "doc_packing": q_doc_packing,
         "repetition_stats": q_repetition_stats,
         "corpus_stats": q_corpus_stats,
+        "validate_documents": q_validate_documents,
         "doc_length_quantiles": q_doc_length_quantiles,
         "doc_length_quantiles_by_source": q_doc_length_quantiles_by_source,
         "stratified_sample": q_stratified_sample,
@@ -1789,6 +1796,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "doc_length_quantiles_by_source":
             textops.length_quantiles_by_sql("source"),
         "corpus_stats": textops.corpus_stats_sql(),
+        "validate_documents": textops.validate_documents_sql(),
         "stratified_sample": textops.stratified_sample_sql(k=20),
         "lm_surprisal": textops.lm_surprisal_sql(),
         "tfidf_top_terms": textops.tfidf_top_terms_sql(k=3),

@@ -2170,3 +2170,84 @@ def top_terms_by_sql(key_col: str = "source", k: int = 3) -> str:
                                        ORDER BY n DESC, term) AS rnk
           FROM c)
     WHERE rnk <= {k}"""
+
+
+# ------------------------------------------------- corpus validation ------
+def validate_documents(docs_ds):
+    """Data-quality gate for an incoming documents table — the checks a
+    pipeline runs BEFORE burning compute on a malformed dump. One
+    streaming pass of per-batch partial counters + an O(columns) reduce,
+    plus an id-uniqueness check that shuffles only (doc_id) pairs:
+
+    - null/empty text count, null lang/source counts,
+    - n_chars mismatches (stored n_chars != len(text)),
+    - duplicate doc_id count (exact, via groupby).
+
+    Output: one (check, n_violations) row per check — '' counts as null
+    for string columns (the falsy contract used across the repo)."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        lang = pc.fill_null(batch["lang"], "")
+        src = pc.fill_null(batch["source"], "")
+        empty_text = pc.sum(pc.equal(text, "")).as_py() or 0
+        null_lang = pc.sum(pc.equal(lang, "")).as_py() or 0
+        null_src = pc.sum(pc.equal(src, "")).as_py() or 0
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        mismatch = int((nch != lens).sum())
+        return pa.table({
+            "check": pa.array(["empty_text", "null_lang", "null_source",
+                               "n_chars_mismatch"], pa.string()),
+            "n_violations": pa.array([empty_text, null_lang, null_src,
+                                      mismatch], pa.int64())})
+
+    checks = (docs_ds.select_columns(["text", "lang", "source", "n_chars"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("check").aggregate(Sum("n_violations",
+                                              alias_name="n_violations")))
+
+    # duplicate ids: count ids seen more than once (extra copies), via a
+    # (doc_id)-only shuffle
+    dup = (docs_ds.select_columns(["doc_id"])
+           .groupby("doc_id").aggregate(Count(alias_name="c"))
+           .filter(expr="c > 1"))
+
+    def dup_row(batch: pa.Table) -> pa.Table:
+        extra = int(pc.sum(pc.subtract(batch["c"],
+                                       pa.scalar(1))).as_py() or 0)
+        return pa.table({"check": pa.array(["duplicate_doc_id"]),
+                         "n_violations": pa.array([extra], pa.int64())})
+
+    dups = dup.map_batches(dup_row, batch_format="pyarrow")
+    import ray.data
+    zero = ray.data.from_arrow(pa.table({     # dup check present even
+        "check": pa.array(["duplicate_doc_id"]),   # when no dups exist
+        "n_violations": pa.array([0], pa.int64())}))
+    return (checks.union(dups).union(zero)
+            .groupby("check").aggregate(Sum("n_violations",
+                                            alias_name="n_violations")))
+
+
+def validate_documents_sql() -> str:
+    return """
+    SELECT 'empty_text' AS check,
+           CAST(count_if(coalesce(text, '') = '') AS BIGINT)
+               AS n_violations FROM documents
+    UNION ALL
+    SELECT 'null_lang', CAST(count_if(coalesce(lang, '') = '') AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'null_source',
+           CAST(count_if(coalesce(source, '') = '') AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars_mismatch',
+           CAST(count_if(n_chars != length(coalesce(text, ''))) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'duplicate_doc_id',
+           CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+    FROM (SELECT doc_id, count(*) AS c FROM documents
+          GROUP BY doc_id HAVING count(*) > 1)"""

@@ -1130,3 +1130,30 @@ def test_knn_label_accuracy_clustered(ray_session):
     assert list(out["query_id"]) == list(range(16))
     assert out["correct"].mean() == 1.0
     assert (out["pred_label"] == out["true_label"]).all()
+
+
+def test_validate_documents_planted_violations(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import validate_documents
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 2, 3, 4],          # doc_id 2 duplicated (1 extra)
+        "text": ["ok text", "", "also ok", "bad count", None],
+        "lang": ["en", "", "en", None, "en"],
+        "source": ["s", "s", "", "s", "s"],
+        "n_chars": [7, 0, 7, 999, 0]})      # 999 != len("bad count")=9
+    got = validate_documents(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("check")["n_violations"]
+    assert got["empty_text"] == 2            # "" and None
+    assert got["null_lang"] == 2             # "" and None
+    assert got["null_source"] == 1
+    assert got["n_chars_mismatch"] == 1
+    assert got["duplicate_doc_id"] == 1
+
+
+def test_validate_documents_clean_corpus_zeroes(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import validate_documents
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    got = validate_documents(ds).to_pandas().set_index("check")
+    assert (got["n_violations"] == 0).all()
+    assert len(got) == 5
