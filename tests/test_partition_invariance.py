@@ -1,0 +1,112 @@
+"""Partition-invariance sweep: every shuffle-dependent operator must
+produce IDENTICAL results regardless of input block layout — the
+distributed-correctness property that catches block-order dependence
+(first-seen-wins bugs, partial-combiner asymmetries, driver reduces that
+assume arrival order)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    rng = np.random.RandomState(41)
+    vocab = np.array([f"w{i}" for i in range(80)])
+    texts = [" ".join(rng.choice(vocab, rng.randint(5, 60)))
+             for _ in range(180)]
+    texts[20] = texts[0]                       # exact dup
+    texts[21] = texts[1]
+    return pd.DataFrame({
+        "doc_id": range(180),
+        "text": texts,
+        "lang": ["en"] * 180,
+        "source": ["s" + str(i % 3) for i in range(180)],
+        "n_chars": [len(t) for t in texts]})
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    rng = np.random.RandomState(43)
+    base = pd.Timestamp("2024-01-01")
+    rows = [{"event_id": i,
+             "ts": base + pd.Timedelta(seconds=int(rng.randint(0, 3 * 86400))),
+             "user_id": int(rng.randint(0, 25)),
+             "event_type": ["view", "click", "purchase"][i % 3],
+             "value": float(rng.exponential(10)),
+             "props": ""} for i in range(600)]
+    return pd.DataFrame(rows)
+
+
+def _two_layouts(pdf, fn):
+    import ray.data
+    a = fn(ray.data.from_pandas(pdf).repartition(1))
+    b = fn(ray.data.from_pandas(pdf.sample(frac=1, random_state=7))
+           .repartition(13))
+    to_df = (lambda x: x.to_pandas() if hasattr(x, "to_pandas")
+             and not isinstance(x, pd.DataFrame) else x)
+    return _sorted(to_df(a)), _sorted(to_df(b))
+
+
+DOC_OPS = {
+    "dedup_exact": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.textops", fromlist=["x"]
+    ).dedup_exact(ds),
+    "stratified_sample": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.textops", fromlist=["x"]
+    ).stratified_sample(ds, k=9),
+    "length_quantiles_by": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.textops", fromlist=["x"]
+    ).length_quantiles_by(ds),
+    "cross_split_leakage": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.textops", fromlist=["x"]
+    ).cross_split_leakage(ds, n=3),
+    "winnow_dup_pairs": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.textops", fromlist=["x"]
+    ).winnow_dup_pairs(ds, min_shared=3),
+    "top_terms_by": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.textops", fromlist=["x"]
+    ).top_terms_by(ds, key_col="source", k=5),
+    "corpus_stats": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.textops", fromlist=["x"]
+    ).corpus_stats(ds),
+    "lm_surprisal": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.textops", fromlist=["x"]
+    ).lm_surprisal(ds),
+    "validate_documents": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.textops", fromlist=["x"]
+    ).validate_documents(ds),
+}
+
+EVENT_OPS = {
+    "funnel": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.events", fromlist=["x"]).funnel(ds),
+    "retention_cohorts": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.events", fromlist=["x"]
+    ).retention_cohorts(ds),
+    "value_quantiles_by_type": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.events", fromlist=["x"]
+    ).value_quantiles_by_type(ds),
+    "distinct_users_daily": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.events", fromlist=["x"]
+    ).distinct_users_daily(ds),
+    "distinct_users_daily_hll": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.events", fromlist=["x"]
+    ).distinct_users_daily_hll(ds),
+}
+
+
+@pytest.mark.parametrize("name", sorted(DOC_OPS))
+def test_doc_op_partition_invariant(ray_session, docs_pdf, name):
+    a, b = _two_layouts(docs_pdf, DOC_OPS[name])
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize("name", sorted(EVENT_OPS))
+def test_event_op_partition_invariant(ray_session, events_pdf, name):
+    a, b = _two_layouts(events_pdf, EVENT_OPS[name])
+    pd.testing.assert_frame_equal(a, b)
