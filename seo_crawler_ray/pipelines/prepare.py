@@ -92,6 +92,10 @@ def prepare_training_data(docs_path: str, out_dir: str, *,
     done = os.path.join(out_dir, "_DONE")
     manifest_path = os.path.join(out_dir, "manifest.json")
     if resume and os.path.exists(done) and os.path.exists(manifest_path):
+        import shutil
+        for stale in ("data.tmp", "data.old"):   # inert leftovers from a
+            shutil.rmtree(os.path.join(out_dir, stale),  # killed rerun
+                          ignore_errors=True)
         with open(manifest_path) as f:
             return json.load(f)
 
@@ -154,10 +158,19 @@ def prepare_training_data(docs_path: str, out_dir: str, *,
         import pandas as pd
         stats = pd.DataFrame(columns=["split", "n_docs", "n_tokens"])
 
+    # crash-ordered swap: invalidate _DONE first, park the old dir under
+    # data.old, rename tmp into place, then drop the parked copy. A kill
+    # at ANY point leaves either a complete data/ or a complete data.old/
+    # on disk and no _DONE marker — a rerun rebuilds correctly; a
+    # completed prior run is never half-deleted.
     if os.path.exists(done):
         os.remove(done)
-    shutil.rmtree(data_dir, ignore_errors=True)
-    os.replace(tmp_dir, data_dir)
+    old_dir = data_dir + ".old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    if os.path.exists(data_dir):
+        os.rename(data_dir, old_dir)
+    os.rename(tmp_dir, data_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
     manifest = {
         "docs_path": docs_path,
         "min_tokens": min_tokens,

@@ -116,3 +116,43 @@ def test_prepare_all_filtered_is_empty_not_crash(ray_session, tmp_path):
     assert empty["splits"] == {}
     assert not glob.glob(os.path.join(out, "data", "**", "*.parquet"),
                          recursive=True)
+
+
+def test_prepare_kill_then_rerun_recovers(tmp_path):
+    """Crash-safety probe (subprocess, own Ray): kill a prepare run at
+    varying points; at every point the out_dir must remain recoverable —
+    a rerun produces the same manifest as a clean run, and a previously
+    COMPLETED run's data is either intact or superseded, never
+    half-deleted."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "prep_kill")
+    env = dict(os.environ)
+    cmd = [sys.executable, "-m", "seo_crawler_ray", "prepare",
+           "--docs", DOCS, "--out", out, "--min-tokens", "5"]
+    clean = subprocess.run(cmd, capture_output=True, text=True,
+                           cwd="/root/repo", env=env, check=True)
+    want = json.loads(clean.stdout.strip().splitlines()[-1])
+
+    for kill_after in (3, 6):
+        p = subprocess.Popen(cmd, cwd="/root/repo", env=env,
+                             stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+        try:
+            p.wait(timeout=kill_after)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+        # invariant: if _DONE exists the data dir must be complete and
+        # readable; killed-midway states must never lose BOTH dirs
+        assert (os.path.exists(os.path.join(out, "data"))
+                or os.path.exists(os.path.join(out, "data.old")))
+        rerun = subprocess.run(cmd + ["--resume"], capture_output=True,
+                               text=True, cwd="/root/repo", env=env,
+                               check=True)
+        got = json.loads(rerun.stdout.strip().splitlines()[-1])
+        assert got["splits"] == want["splits"]
+        assert not os.path.exists(os.path.join(out, "data.tmp"))
+        assert not os.path.exists(os.path.join(out, "data.old"))
