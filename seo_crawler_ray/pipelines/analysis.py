@@ -369,3 +369,38 @@ def recrawl_diff(old_pages_ds, new_pages_ds, n_buckets: int = 128):
             .union(new_pages_ds.select_columns(cols)
                    .map_batches(tag(1), batch_format="pyarrow"))
             .groupby("_bkt").map_groups(diff, batch_format="pandas"))
+
+
+def url_templates(pages_ds):
+    """URL pattern mining (the SEO site-structure report): collapse every
+    digit run to '{n}' and aggregate per template — page count + the
+    lexicographically smallest example URL. Per-batch partial groupby
+    (template domain is tiny next to the URL count), then a
+    template-keyed reduce; only (template, count, example) rows shuffle.
+    SQL mirror: regexp_replace(url, '[0-9]+', '{n}', 'g')."""
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Min, Sum
+
+    digit_re = re.compile(r"[0-9]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        df = pd.DataFrame({
+            "template": [digit_re.sub("{n}", u) for u in urls],
+            "url": urls})
+        g = (df.groupby("template", sort=False)
+             .agg(n_pages=("url", "size"), example=("url", "min"))
+             .reset_index())
+        return pa.table({
+            "template": pa.array(g["template"], pa.string()),
+            "n_pages": pa.array(g["n_pages"], pa.int64()),
+            "example": pa.array(g["example"], pa.string())})
+
+    return (pages_ds.select_columns(["url"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("template")
+            .aggregate(Sum("n_pages", alias_name="n_pages"),
+                       Min("example", alias_name="example")))

@@ -218,6 +218,12 @@ def q_recrawl_diff(sf_dir: str):
         pages.filter(expr=f"rank < {RECRAWL_CUTOFF}"), pages)
 
 
+def q_url_templates(sf_dir: str):
+    """URL pattern mining: digit runs -> '{n}', per-template page count
+    + smallest example URL."""
+    return analysis.url_templates(_pages_ds(sf_dir))
+
+
 def q_status_counts(sf_dir: str):
     return analysis.status_counts(_pages_ds(sf_dir))
 
@@ -1226,6 +1232,7 @@ def queries() -> dict:
         "anchor_profiles": q_anchor_profiles,
         "recrawl_diff": q_recrawl_diff,
         "status_counts": q_status_counts,
+        "url_templates": q_url_templates,
         "crawl_stats": q_crawl_stats,
         "pagerank": q_pagerank,
         "degree_stats": q_degree_stats,
@@ -1521,6 +1528,12 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "status_counts": f"""
             SELECT status_code, count(*) AS n
             FROM read_parquet('{exp_pages}') GROUP BY status_code""",
+        "url_templates": f"""
+            SELECT regexp_replace(url, '[0-9]+', '{{n}}', 'g') AS template,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   min(url) AS example
+            FROM read_parquet('{exp_pages}')
+            GROUP BY template""",
         "crawl_stats": f"""
             SELECT count(*) AS crawled, CAST(max(depth) AS BIGINT) AS max_depth
             FROM read_parquet('{_cp('expected_order.parquet')}')""",
