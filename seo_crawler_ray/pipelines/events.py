@@ -335,8 +335,9 @@ def funnel(events_ds, steps: tuple[str, ...] = ("view", "click",
     step_idx = {s: i for i, s in enumerate(steps)}
 
     def rows(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["event_type"],
-                        value_set=pa.array(list(steps)))
+        mask = pc.and_(pc.is_in(batch["event_type"],
+                                value_set=pa.array(list(steps))),
+                       pc.is_valid(batch["user_id"]))
         b = batch.filter(mask)
         uid = b["user_id"].cast(pa.int64())
         si = pa.array([step_idx[t] for t in b["event_type"].to_pylist()],
@@ -363,10 +364,15 @@ def funnel(events_ds, steps: tuple[str, ...] = ("view", "click",
                                                     dtype=np.int64)),
                          "n_users": pa.array(reached)})
 
+    import ray.data
+    zero = ray.data.from_arrow(pa.table({     # every step row present
+        "step": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+        "n_users": pa.array(np.zeros(len(steps), np.int64))}))
     agg = (events_ds.select_columns(["user_id", "ts", "event_type"])
            .map_batches(rows, batch_format="pyarrow")
            .groupby("bucket").map_groups(funnel_bucket,
                                          batch_format="pandas")
+           .union(zero)
            .groupby("step").aggregate(Sum("n_users",
                                           alias_name="n_users")))
 
@@ -414,8 +420,12 @@ def retention_cohorts(events_ds, n_buckets: int = 64):
     from ray.data.aggregate import Sum
 
     def rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["user_id"]))
         uid = batch["user_id"].cast(pa.int64())
-        day = pc.divide(_t_us(batch["ts"]), _DAY_US)
+        # numpy // floors (matches SQL's //); Arrow divide truncates
+        # toward zero and diverges for pre-1970 timestamps
+        day = pa.array(_t_us(batch["ts"])
+                       .to_numpy(zero_copy_only=False) // _DAY_US)
         return pa.table({
             "bucket": pc.cast(
                 pc.bit_wise_and(uid, n_buckets - 1), pa.int32()),
@@ -462,8 +472,10 @@ def distinct_users_daily(events_ds):
     from ray.data.aggregate import Count
 
     def pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["user_id"]))
         df = pd.DataFrame({
-            "day": pc.divide(_t_us(batch["ts"]), _DAY_US).to_pylist(),
+            "day": _t_us(batch["ts"])
+            .to_numpy(zero_copy_only=False) // _DAY_US,
             "user_id": batch["user_id"].to_pylist()}).drop_duplicates()
         return pa.table({"day": pa.array(df["day"], pa.int64()),
                          "user_id": pa.array(df["user_id"], pa.int64())})
@@ -523,8 +535,9 @@ def distinct_users_daily_hll(events_ds):
     Accuracy (~1.6% at p=12) is pytest-pinned against the exact count."""
 
     def partials(batch: pa.Table) -> pa.Table:
-        days = np.asarray(
-            pc.divide(_t_us(batch["ts"]), _DAY_US).to_pylist(), np.int64)
+        batch = batch.filter(pc.is_valid(batch["user_id"]))
+        days = _t_us(batch["ts"]) \
+            .to_numpy(zero_copy_only=False) // _DAY_US
         uids = np.asarray(batch["user_id"].to_pylist(), np.int64)
         out_d, out_r = [], []
         for d in np.unique(days):

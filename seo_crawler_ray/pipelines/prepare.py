@@ -166,8 +166,12 @@ def prepare_training_data(docs_path: str, out_dir: str, *,
     if os.path.exists(done):
         os.remove(done)
     old_dir = data_dir + ".old"
-    shutil.rmtree(old_dir, ignore_errors=True)
     if os.path.exists(data_dir):
+        # drop a stale parked copy ONLY when a newer data/ exists —
+        # otherwise data.old may be the sole surviving complete output
+        # from a run killed mid-swap, and deleting it here would break
+        # the "a complete copy always exists" invariant
+        shutil.rmtree(old_dir, ignore_errors=True)
         os.rename(data_dir, old_dir)
     os.rename(tmp_dir, data_dir)
     shutil.rmtree(old_dir, ignore_errors=True)

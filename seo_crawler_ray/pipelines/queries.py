@@ -1054,13 +1054,17 @@ def q_orders_rollup(sf_dir: str):
 
     def attach(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
-        rn = [lookup.get(k, ("", "")) for k in
-              batch["o_custkey"].to_pylist()]
+        rn = [lookup.get(k) for k in batch["o_custkey"].to_pylist()]
+        # drop orders whose custkey misses the dim (inner-join parity
+        # with the oracle; a ('','') fallback would collide with the
+        # subtotal marker rows)
+        keep = np.array([x is not None for x in rn], dtype=bool)
         cents = arrowutil.round_half_up(
             batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
-        return pa.table({"region": pa.array([x[0] for x in rn]),
-                         "nation": pa.array([x[1] for x in rn]),
-                         "cents": pa.array(cents)})
+        return pa.table({
+            "region": pa.array([x[0] for x in rn if x is not None]),
+            "nation": pa.array([x[1] for x in rn if x is not None]),
+            "cents": pa.array(cents[keep])})
 
     orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                                    columns=["o_custkey", "o_totalprice"])

@@ -2050,10 +2050,15 @@ def winnow_dup_pairs(docs_ds, min_shared: int = 5, k: int = 8, w: int = 16,
 
     Scale shape: (fp, doc_id) rows are hash-BUCKETED (64 groups — never
     one task per fingerprint); each bucket pairs its fp groups locally
-    and emits (a, b) partials; groupby(a, b).sum closes the count. A
+    and emits (a, b) partials as numpy arrays concatenated once (never
+    O(m^2) Python lists); groupby(a, b).sum closes the count. A
     fingerprint shared by m docs costs O(m^2) pairs — ``group_cap``
-    skips degenerate boilerplate fingerprints (and logs how many were
-    dropped), the same escape hatch MOSS applies to common substrings."""
+    skips degenerate boilerplate fingerprints, the same escape hatch
+    MOSS applies to common substrings. NOTE: the SQL oracle has no cap,
+    so oracle-compared runs must keep every fp group under group_cap
+    (true by construction for the registered corpus); duplicate doc_ids
+    are collapsed per fingerprint (np.unique), matching the oracle's
+    DISTINCT + a<b join."""
     from ray.data.aggregate import Sum
 
     def fp_rows(batch: pa.Table) -> pa.Table:
@@ -2064,24 +2069,33 @@ def winnow_dup_pairs(docs_ds, min_shared: int = 5, k: int = 8, w: int = 16,
         return fps.append_column("bucket", pa.array(bkt))
 
     def pair_bucket(g: pd.DataFrame) -> pa.Table:
-        out_a, out_b = [], []
+        parts_a, parts_b = [], []
         for _, grp in g.groupby("fp", sort=False):
-            ids = np.sort(grp[id_col].to_numpy(np.int64))
+            ids = np.unique(grp[id_col].to_numpy(np.int64))
             if len(ids) < 2 or len(ids) > group_cap:
                 continue
             ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.extend(ids[ii].tolist())
-            out_b.extend(ids[jj].tolist())
-        df = pd.DataFrame({"a": out_a, "b": out_b})
-        cnt = df.groupby(["a", "b"], sort=False).size() if len(df) else None
-        if cnt is None:
+            parts_a.append(ids[ii])
+            parts_b.append(ids[jj])
+        if not parts_a:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "shared": pa.array([], pa.int64())})
-        cnt = cnt.reset_index(name="shared")
-        return pa.table({"a": pa.array(cnt["a"], pa.int64()),
-                         "b": pa.array(cnt["b"], pa.int64()),
-                         "shared": pa.array(cnt["shared"], pa.int64())})
+        a = np.concatenate(parts_a)
+        b = np.concatenate(parts_b)
+        # count duplicate (a, b) pairs via lexsort + run-length — exact
+        # for full-range int64 ids, no Python-object tuple DataFrame
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        change = np.empty(len(a), dtype=bool)
+        change[0] = True
+        change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        idx = np.flatnonzero(change)
+        cnt = np.diff(np.append(idx, len(a)))
+        return pa.table({
+            "a": pa.array(a[idx]),
+            "b": pa.array(b[idx]),
+            "shared": pa.array(cnt.astype(np.int64))})
 
     pairs = (docs_ds.select_columns([id_col, "text"])
              .map_batches(fp_rows, batch_format="pyarrow")
@@ -2194,7 +2208,11 @@ def validate_documents(docs_ds):
         empty_text = pc.sum(pc.equal(text, "")).as_py() or 0
         null_lang = pc.sum(pc.equal(lang, "")).as_py() or 0
         null_src = pc.sum(pc.equal(src, "")).as_py() or 0
-        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        # null n_chars counts as a mismatch (fill with -1; the SQL oracle
+        # coalesces identically — a validator must flag nulls, and bare
+        # NULL != x would silently NOT count in SQL)
+        nch = pc.fill_null(batch["n_chars"], -1) \
+            .to_numpy(zero_copy_only=False)
         lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
         mismatch = int((nch != lens).sum())
         return pa.table({
@@ -2244,7 +2262,8 @@ def validate_documents_sql() -> str:
     FROM documents
     UNION ALL
     SELECT 'n_chars_mismatch',
-           CAST(count_if(n_chars != length(coalesce(text, ''))) AS BIGINT)
+           CAST(count_if(coalesce(n_chars, -1) !=
+                         length(coalesce(text, ''))) AS BIGINT)
     FROM documents
     UNION ALL
     SELECT 'duplicate_doc_id',

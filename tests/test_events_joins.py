@@ -227,3 +227,16 @@ def test_customer_running_revenue_monotone_and_total(ray_session):
     for _, g in got.groupby("o_custkey"):
         g = g.sort_values(["d", "o_orderkey"])
         assert (np.diff(g["cum_cents"].to_numpy()) > 0).all()
+
+
+def test_funnel_no_matching_events_zero_rows(ray_session):
+    """No step-matching events: one zero row per step (SQL UNION ALL
+    parity), not an empty dataset."""
+    import ray.data
+    from seo_crawler_ray.pipelines.events import funnel
+    df = pd.DataFrame([{"event_id": 0, "ts": pd.Timestamp("2024-01-01"),
+                        "user_id": 1, "event_type": "error",
+                        "value": 0.0, "props": ""}])
+    got = funnel(ray.data.from_pandas(df)).to_pandas()
+    assert len(got) == 3
+    assert (got["n_users"] == 0).all()

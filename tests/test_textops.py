@@ -1136,17 +1136,18 @@ def test_validate_documents_planted_violations(ray_session):
     import ray.data
     from seo_crawler_ray.pipelines.textops import validate_documents
     df = pd.DataFrame({
-        "doc_id": [1, 2, 2, 3, 4],          # doc_id 2 duplicated (1 extra)
-        "text": ["ok text", "", "also ok", "bad count", None],
-        "lang": ["en", "", "en", None, "en"],
-        "source": ["s", "s", "", "s", "s"],
-        "n_chars": [7, 0, 7, 999, 0]})      # 999 != len("bad count")=9
+        "doc_id": [1, 2, 2, 3, 4, 5],       # doc_id 2 duplicated (1 extra)
+        "text": ["ok text", "", "also ok", "bad count", None, "x"],
+        "lang": ["en", "", "en", None, "en", "en"],
+        "source": ["s", "s", "", "s", "s", "s"],
+        # 999 != len("bad count")=9; None n_chars is a violation too
+        "n_chars": pd.array([7, 0, 7, 999, 0, None], dtype="Int64")})
     got = validate_documents(ray.data.from_pandas(df).repartition(3)) \
         .to_pandas().set_index("check")["n_violations"]
     assert got["empty_text"] == 2            # "" and None
     assert got["null_lang"] == 2             # "" and None
     assert got["null_source"] == 1
-    assert got["n_chars_mismatch"] == 1
+    assert got["n_chars_mismatch"] == 2      # 999 and NULL
     assert got["duplicate_doc_id"] == 1
 
 
@@ -1157,3 +1158,15 @@ def test_validate_documents_clean_corpus_zeroes(ray_session):
     got = validate_documents(ds).to_pandas().set_index("check")
     assert (got["n_violations"] == 0).all()
     assert len(got) == 5
+
+
+def test_winnow_dup_pairs_duplicate_ids_collapse(ray_session):
+    """Duplicate doc_id rows must not create self-pairs or inflated
+    shared counts (DISTINCT + a<b oracle parity)."""
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import winnow_dup_pairs
+    t = "a long enough duplicated body of text for fingerprints"
+    df = pd.DataFrame({"doc_id": [1, 1, 2], "text": [t, t, t]})
+    got = winnow_dup_pairs(ray.data.from_pandas(df).repartition(2),
+                           min_shared=1).to_pandas()
+    assert set(zip(got["a"], got["b"])) == {(1, 2)}
