@@ -218,6 +218,12 @@ def q_recrawl_diff(sf_dir: str):
         pages.filter(expr=f"rank < {RECRAWL_CUTOFF}"), pages)
 
 
+def q_host_stats(sf_dir: str):
+    """Per-host crawl report: pages, 4xx/5xx errors, exact integer mean
+    response time."""
+    return analysis.host_stats(_pages_ds(sf_dir))
+
+
 def q_url_templates(sf_dir: str):
     """URL pattern mining: digit runs -> '{n}', per-template page count
     + smallest example URL."""
@@ -1237,6 +1243,7 @@ def queries() -> dict:
         "recrawl_diff": q_recrawl_diff,
         "status_counts": q_status_counts,
         "url_templates": q_url_templates,
+        "host_stats": q_host_stats,
         "crawl_stats": q_crawl_stats,
         "pagerank": q_pagerank,
         "degree_stats": q_degree_stats,
@@ -1538,6 +1545,16 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                    min(url) AS example
             FROM read_parquet('{exp_pages}')
             GROUP BY template""",
+        "host_stats": f"""
+            SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(count_if(status_code >= 400) AS BIGINT)
+                       AS n_errors,
+                   CAST(sum(CAST(floor(response_time * 1000000)
+                                 AS BIGINT)) // count(*) AS BIGINT)
+                       AS mean_rt_us
+            FROM read_parquet('{exp_pages}')
+            GROUP BY host""",
         "crawl_stats": f"""
             SELECT count(*) AS crawled, CAST(max(depth) AS BIGINT) AS max_depth
             FROM read_parquet('{_cp('expected_order.parquet')}')""",
