@@ -110,3 +110,29 @@ def test_doc_op_partition_invariant(ray_session, docs_pdf, name):
 def test_event_op_partition_invariant(ray_session, events_pdf, name):
     a, b = _two_layouts(events_pdf, EVENT_OPS[name])
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    rng = np.random.RandomState(47)
+    return pd.DataFrame({
+        "url": [f"https://site{i % 5}.example/p{i}.html"
+                for i in range(300)],
+        "status_code": rng.choice([200, 200, 200, 301, 404, 500], 300),
+        "response_time": rng.exponential(0.2, 300)})
+
+
+PAGE_OPS = {
+    "url_templates": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.analysis", fromlist=["x"]
+    ).url_templates(ds),
+    "host_stats": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.analysis", fromlist=["x"]
+    ).host_stats(ds),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PAGE_OPS))
+def test_page_op_partition_invariant(ray_session, pages_pdf, name):
+    a, b = _two_layouts(pages_pdf, PAGE_OPS[name])
+    pd.testing.assert_frame_equal(a, b)
