@@ -406,50 +406,52 @@ def url_templates(pages_ds):
                        Min("example", alias_name="example")))
 
 
-def host_stats(pages_ds):
-    """Per-host crawl report: page count, error count (4xx/5xx), mean
-    response time in integer microseconds (sum/count kept separate
-    through the shuffle so the reduce is exact — the mean is derived at
-    the end from int partials, no float accumulation). Combiner shape:
-    one partial row per (host, batch)."""
-    from urllib.parse import urlsplit
+# ONE host pattern, templated into both the Ray extractor and the SQL
+# oracle — asymmetric parsers (urlsplit vs regex) diverge on exotic URLs
+HOST_RE_SQL = "^[a-z]+://([^/]+)"
+_HOST_RE = __import__("re").compile(HOST_RE_SQL)
 
+
+def host_stats(pages_ds):
+    """Per-host crawl report: page count, error count (4xx/5xx), exact
+    integer mean page size (sum/count kept separate through the shuffle;
+    the mean is derived at the end from int partials with FLOOR division
+    on both sides — no float accumulation, no trunc-vs-floor trap).
+    Combiner shape: one partial row per (host, batch)."""
+    import numpy as np
     import pandas as pd
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        hosts = [urlsplit(u).netloc for u in batch["url"].to_pylist()]
+        hosts = [(m.group(1) if (m := _HOST_RE.match(u)) else "")
+                 for u in batch["url"].to_pylist()]
         status = batch["status_code"].to_numpy(zero_copy_only=False)
-        # floor, not astype-truncate/CAST-round: mirrored by the SQL
-        # oracle's CAST(floor(.. * 1e6) AS BIGINT)
-        import numpy as np
-        rt_us = np.floor(batch["response_time"]
-                         .to_numpy(zero_copy_only=False) * 1e6) \
-            .astype("int64")
-        df = pd.DataFrame({"host": hosts,
-                           "err": (status >= 400).astype("int64"),
-                           "rt_us": rt_us})
+        df = pd.DataFrame({
+            "host": hosts,
+            "err": (status >= 400).astype("int64"),
+            "size": batch["size"].to_numpy(zero_copy_only=False)
+            .astype("int64")})
         g = (df.groupby("host", sort=False)
              .agg(n_pages=("err", "size"), n_errors=("err", "sum"),
-                  rt_us_sum=("rt_us", "sum")).reset_index())
+                  size_sum=("size", "sum")).reset_index())
         return pa.table({
             "host": pa.array(g["host"], pa.string()),
             "n_pages": pa.array(g["n_pages"], pa.int64()),
             "n_errors": pa.array(g["n_errors"], pa.int64()),
-            "rt_us_sum": pa.array(g["rt_us_sum"], pa.int64())})
+            "size_sum": pa.array(g["size_sum"], pa.int64())})
 
-    agg = (pages_ds.select_columns(["url", "status_code", "response_time"])
+    agg = (pages_ds.select_columns(["url", "status_code", "size"])
            .map_batches(partial, batch_format="pyarrow")
            .groupby("host")
            .aggregate(Sum("n_pages", alias_name="n_pages"),
                       Sum("n_errors", alias_name="n_errors"),
-                      Sum("rt_us_sum", alias_name="rt_us_sum")))
+                      Sum("size_sum", alias_name="size_sum")))
 
     def finish(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        mean = pc.divide(batch["rt_us_sum"], batch["n_pages"])
-        return batch.drop_columns(["rt_us_sum"]) \
-            .append_column("mean_rt_us", pc.cast(mean, pa.int64()))
+        mean = (batch["size_sum"].to_numpy(zero_copy_only=False)
+                // batch["n_pages"].to_numpy(zero_copy_only=False))
+        return batch.drop_columns(["size_sum"]) \
+            .append_column("mean_size_bytes", pa.array(mean, pa.int64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")

@@ -220,7 +220,7 @@ def q_recrawl_diff(sf_dir: str):
 
 def q_host_stats(sf_dir: str):
     """Per-host crawl report: pages, 4xx/5xx errors, exact integer mean
-    response time."""
+    page size (floored, int partials through the shuffle)."""
     return analysis.host_stats(_pages_ds(sf_dir))
 
 
@@ -1546,13 +1546,13 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             FROM read_parquet('{exp_pages}')
             GROUP BY template""",
         "host_stats": f"""
-            SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+            SELECT regexp_extract(url, '{analysis.HOST_RE_SQL}', 1)
+                       AS host,
                    CAST(count(*) AS BIGINT) AS n_pages,
                    CAST(count_if(status_code >= 400) AS BIGINT)
                        AS n_errors,
-                   CAST(sum(CAST(floor(response_time * 1000000)
-                                 AS BIGINT)) // count(*) AS BIGINT)
-                       AS mean_rt_us
+                   CAST(sum(CAST(size AS BIGINT)) // count(*) AS BIGINT)
+                       AS mean_size_bytes
             FROM read_parquet('{exp_pages}')
             GROUP BY host""",
         "crawl_stats": f"""

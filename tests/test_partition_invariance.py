@@ -119,7 +119,7 @@ def pages_pdf():
         "url": [f"https://site{i % 5}.example/p{i}.html"
                 for i in range(300)],
         "status_code": rng.choice([200, 200, 200, 301, 404, 500], 300),
-        "response_time": rng.exponential(0.2, 300)})
+        "size": rng.randint(100, 50_000, 300).astype("int64")})
 
 
 PAGE_OPS = {
