@@ -100,7 +100,7 @@ def cmd_prepare(args) -> int:
     probes = tuple(args.probe or ())
     manifest = prepare_training_data(
         args.docs, args.out, min_tokens=args.min_tokens, probes=probes,
-        resume=args.resume)
+        output_format=args.format, resume=args.resume)
     print(json.dumps(manifest))
     return 0
 
@@ -144,6 +144,8 @@ def main(argv=None) -> int:
     t.add_argument("--min-tokens", type=int, default=5)
     t.add_argument("--probe", action="append",
                    help="contamination probe text (repeatable)")
+    t.add_argument("--format", choices=["parquet", "jsonl"],
+                   default="parquet")
     t.add_argument("--resume", action="store_true")
     t.set_defaults(fn=cmd_prepare)
 

@@ -83,10 +83,16 @@ def prepare_training_data(docs_path: str, out_dir: str, *,
                           ngram_n: int = 3,
                           val_permille: int = 50,
                           test_permille: int = 50,
+                          output_format: str = "parquet",
                           resume: bool = False) -> dict:
     """Run the full preparation pipeline over a documents parquet file
     (schema: doc_id, text, lang, source, n_chars) and write partitioned
-    training shards + a manifest. Returns the manifest dict."""
+    training shards + a manifest. Returns the manifest dict.
+
+    ``output_format``: 'parquet' (default) or 'jsonl' — the common LLM
+    trainer ingestion format. JSONL shards are converted split-by-split
+    from the parquet staging dir with one extra streaming read (the
+    dedup shuffle never re-executes)."""
     import ray.data
 
     done = os.path.join(out_dir, "_DONE")
@@ -140,15 +146,17 @@ def prepare_training_data(docs_path: str, out_dir: str, *,
     tmp_dir = os.path.join(out_dir, "data.tmp")
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
-    ds.write_parquet(tmp_dir, partition_cols=["split"])
+    pq_dir = (tmp_dir if output_format == "parquet"
+              else os.path.join(tmp_dir, "_pq"))
+    ds.write_parquet(pq_dir, partition_cols=["split"])
 
     # manifest from the WRITTEN shards: row counts come from parquet
     # metadata, token totals from a pruned single-column read — no
     # mid-pipeline materialization of the corpus. An all-filtered corpus
     # writes no files; that's a valid empty result, not a crash.
-    if glob.glob(os.path.join(tmp_dir, "**", "*.parquet"), recursive=True):
+    if glob.glob(os.path.join(pq_dir, "**", "*.parquet"), recursive=True):
         from ray.data.aggregate import Count, Sum
-        stats = (ray.data.read_parquet(tmp_dir,
+        stats = (ray.data.read_parquet(pq_dir,
                                        columns=["split", "n_tokens"])
                  .groupby("split")
                  .aggregate(Count(alias_name="n_docs"),
@@ -157,6 +165,25 @@ def prepare_training_data(docs_path: str, out_dir: str, *,
     else:
         import pandas as pd
         stats = pd.DataFrame(columns=["split", "n_docs", "n_tokens"])
+
+    if output_format == "jsonl":
+        # convert split-by-split: streaming read of the staged parquet,
+        # one JSONL dir per split (newline-delimited JSON, one doc/line)
+        for sd in sorted(glob.glob(os.path.join(pq_dir, "split=*"))):
+            sname = os.path.basename(sd).split("=", 1)[1]
+            jdir = os.path.join(tmp_dir, os.path.basename(sd))
+            os.makedirs(jdir, exist_ok=True)
+
+            def _with_split(b: pa.Table, s=sname) -> pa.Table:
+                if "split" in b.column_names:   # hive col may or may not
+                    return b                    # be inferred from the path
+                return b.append_column(
+                    "split", pa.array([s] * b.num_rows, pa.string()))
+
+            (ray.data.read_parquet(sd)
+             .map_batches(_with_split, batch_format="pyarrow")
+             .write_json(jdir))
+        shutil.rmtree(pq_dir)
 
     # crash-ordered swap: invalidate _DONE first, park the old dir under
     # data.old, rename tmp into place, then drop the parked copy. A kill

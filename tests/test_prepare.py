@@ -156,3 +156,26 @@ def test_prepare_kill_then_rerun_recovers(tmp_path):
         assert got["splits"] == want["splits"]
         assert not os.path.exists(os.path.join(out, "data.tmp"))
         assert not os.path.exists(os.path.join(out, "data.old"))
+
+
+def test_prepare_jsonl_output_matches_parquet(ray_session, tmp_path):
+    """JSONL shards: same manifest as the parquet run, one JSON doc per
+    line, readable back with identical (doc_id, split) assignments."""
+    import json
+    import ray.data
+    from seo_crawler_ray.pipelines.prepare import prepare_training_data
+    m_pq = prepare_training_data(DOCS, str(tmp_path / "pq"), min_tokens=5)
+    m_jl = prepare_training_data(DOCS, str(tmp_path / "jl"), min_tokens=5,
+                                 output_format="jsonl")
+    assert m_jl["splits"] == m_pq["splits"]
+    files = glob.glob(str(tmp_path / "jl" / "data" / "split=*" / "*"))
+    assert files and all(f.endswith(".json") for f in files)
+    # each line is one JSON object with the full row schema
+    with open(files[0]) as f:
+        row = json.loads(f.readline())
+    assert {"doc_id", "text", "split", "n_tokens"} <= set(row)
+    back = ray.data.read_json(glob.glob(
+        str(tmp_path / "jl" / "data" / "split=*"))).to_pandas()
+    pq = ray.data.read_parquet(str(tmp_path / "pq" / "data")).to_pandas()
+    assert set(zip(back["doc_id"], back["split"])) == \
+        set(zip(pq["doc_id"], pq["split"]))
