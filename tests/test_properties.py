@@ -194,3 +194,35 @@ def test_tokenizer_matches_duckdb_regexp(texts):
         "(SELECT unnest(?) AS t)", [texts]).fetchall()
     for t, (sql_toks,) in zip(texts, got):
         assert LOWER_WORD_RE.findall(t.lower()) == sql_toks
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_hist_quantile_core_matches_bruteforce(values):
+    """The shared quantile core must equal the sorted-list definition:
+    q-th percentile = element at ceil(q*n/100) (1-indexed)."""
+    import numpy as np
+    from seo_crawler_ray.pipelines.textops import _hist_quantile_values
+    qs = (1, 25, 50, 75, 90, 99, 100)
+    wcs, cnts = np.unique(np.array(values, np.int64), return_counts=True)
+    got = _hist_quantile_values(wcs, cnts, qs)
+    s = sorted(values)
+    n = len(s)
+    want = [s[(q * n + 99) // 100 - 1] for q in qs]
+    assert got == want
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                max_size=400), st.integers(min_value=1, max_value=399))
+@settings(max_examples=100, deadline=None)
+def test_hll_register_merge_equivalence(ids, cut):
+    """Register-max merge of any split == sequential build over the whole
+    set (the associativity that makes per-batch HLL partials exact)."""
+    import numpy as np
+    from seo_crawler_ray.pipelines.events import _hll_registers
+    a = np.array(ids[:cut] or [0], np.int64)
+    b = np.array(ids[cut:] or [0], np.int64)
+    whole = np.array((ids[:cut] or [0]) + (ids[cut:] or [0]), np.int64)
+    merged = np.maximum(_hll_registers(a), _hll_registers(b))
+    assert (merged == _hll_registers(whole)).all()
