@@ -60,7 +60,7 @@ def run_bench() -> dict:
     # minimum is the standard steady-state estimator)
     crawl_times = []
     crawled = 0
-    n_runs = int(os.environ.get("RAY_GRAFT_CRAWL_RUNS", "2"))
+    n_runs = int(os.environ.get("RAY_GRAFT_CRAWL_RUNS", "3"))
     for attempt in range(n_runs):
         out_dir = f"/tmp/seo_ray_bench/crawl_{NUM_CPUS}"
         shutil.rmtree(out_dir, ignore_errors=True)
