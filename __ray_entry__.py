@@ -28,7 +28,8 @@ _NO_ORACLE = {"minhash_near_dups", "simhash_near_dups",
               "crawl_wave_metrics", "ann_topk_ivf", "ann_topk_lsh",
               "embedding_dup_pairs_lsh", "kmeans_clusters",
               "semantic_dedup", "quality_classifier",
-              "distinct_users_daily_hll"}
+              "distinct_users_daily_hll", "bpe_merges",
+              "bpe_token_counts"}
 
 
 def entry() -> Any:

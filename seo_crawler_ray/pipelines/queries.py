@@ -778,6 +778,26 @@ def q_validate_documents(sf_dir: str):
     return textops.validate_documents(_docs_ds(sf_dir))
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training: the learned merge table (distributed word
+    count + vocab-bounded driver merges). No SQL oracle (iterative
+    symbol rewriting); Sennrich worked-example pytest-pinned."""
+    merges = textops.bpe_train(_docs_ds(sf_dir), n_merges=32)
+    return pa.table({
+        "rank": pa.array([r for r, _, _ in merges], pa.int64()),
+        "left": pa.array([l for _, l, _ in merges], pa.string()),
+        "right": pa.array([r for _, _, r in merges], pa.string())})
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Per-doc token counts under the learned BPE (broadcast merge
+    table, pure map)."""
+    merges = textops.bpe_train(_docs_ds(sf_dir), n_merges=32)
+    return _docs_ds(sf_dir).map_batches(
+        textops.bpe_encode_batch, batch_format="pyarrow",
+        fn_kwargs={"merges": merges})
+
+
 def q_corpus_stats(sf_dir: str):
     """Per-(source, lang) corpus composition rollup."""
     return textops.corpus_stats(_docs_ds(sf_dir))
@@ -1218,6 +1238,8 @@ def queries() -> dict:
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

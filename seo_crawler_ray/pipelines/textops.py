@@ -2270,3 +2270,89 @@ def validate_documents_sql() -> str:
            CAST(coalesce(sum(c - 1), 0) AS BIGINT)
     FROM (SELECT doc_id, count(*) AS c FROM documents
           GROUP BY doc_id HAVING count(*) > 1)"""
+
+
+# ------------------------------------------------ BPE tokenizer train ----
+def bpe_train(docs_ds, n_merges: int = 32, text_col: str = "text"):
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016): the
+    published algorithm operates on the WORD-FREQUENCY table, not the
+    raw corpus — so the distributed part is one vocabulary-sized word
+    count (the ``term_count_batch`` combiner + groupby sum), and the
+    merge loop runs on the driver over that Zipf-bounded dict (same
+    driver-vocab caveat as ``lm_surprisal``; cap with a top-v cut when
+    the tail is unbounded).
+
+    Determinism: best pair = max total count, ties broken by the
+    lexicographically smallest (left, right). Words end with the '</w>'
+    marker. Returns a list of (rank, left, right) merges.
+
+    No SQL oracle (iterative symbol rewriting); pinned by the canonical
+    Sennrich worked example + an encode round-trip pytest."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    vocab_df = (docs_ds.select_columns([text_col])
+                .map_batches(term_count_batch, batch_format="pyarrow",
+                             fn_kwargs={"text_col": text_col})
+                .groupby("term").aggregate(Sum("n", alias_name="n"))
+                .to_pandas())                    # vocabulary-sized
+    words = {tuple(w) + ("</w>",): int(c)
+             for w, c in zip(vocab_df["term"], vocab_df["n"])}
+
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, c in words.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, best[0], best[1]))
+        merged = best[0] + best[1]
+        new_words = {}
+        for sym, c in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (i < len(sym) - 1 and sym[i] == best[0]
+                        and sym[i + 1] == best[1]):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+    return merges
+
+
+def bpe_encode_batch(batch: pa.Table, merges: list,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """Encode documents under a learned merge table (broadcast constant):
+    per doc, apply merges in rank order per word; emit the BPE token
+    count — the 'how many tokens will training see' accounting pass."""
+    rank_of = {(left, right): r for r, left, right in merges}
+
+    def encode_word(w: str) -> int:
+        sym = list(w) + ["</w>"]
+        while len(sym) > 1:
+            best_r, best_i = None, -1
+            for i in range(len(sym) - 1):
+                r = rank_of.get((sym[i], sym[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_r, best_i = r, i
+            if best_r is None:
+                break
+            sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        return len(sym)
+
+    ids, counts = [], []
+    for did, t in zip(batch[id_col].to_pylist(),
+                      batch[text_col].to_pylist()):
+        ids.append(did)
+        counts.append(sum(encode_word(w)
+                          for w in LOWER_WORD_RE.findall(t.lower())))
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     "bpe_tokens": pa.array(counts, pa.int64())})

@@ -1170,3 +1170,50 @@ def test_winnow_dup_pairs_duplicate_ids_collapse(ray_session):
     got = winnow_dup_pairs(ray.data.from_pandas(df).repartition(2),
                            min_shared=1).to_pandas()
     assert set(zip(got["a"], got["b"])) == {(1, 2)}
+
+
+# -------------------------------------------------------------- BPE ------
+def test_bpe_train_sennrich_example(ray_session):
+    """The canonical worked example (Sennrich et al. 2016 §3.2): corpus
+    word freqs low:5 lower:2 newest:6 widest:3. Pair counts give the
+    hand-derivable merge order below (ties: count desc, pair lex asc)."""
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import bpe_train
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    # spread across docs/blocks so the distributed count is exercised
+    df = pd.DataFrame({"doc_id": range(8),
+                       "text": [" ".join(words[i::8]) for i in range(8)]})
+    merges = bpe_train(ray.data.from_pandas(df).repartition(4),
+                       n_merges=5)
+    got = [(left, right) for _, left, right in merges]
+    # counts round 1: (e,s)=9, (s,t)=9, (t,</w>)=9, (l,o)=7, (o,w)=7,
+    # (w,e)=8, ... -> lex-smallest of the 9s is ('e','s')
+    assert got[0] == ("e", "s")
+    # round 2: ('es','t') = 9 is the unique max
+    assert got[1] == ("es", "t")
+    # round 3: ('est','</w>') = 9 unique max
+    assert got[2] == ("est", "</w>")
+    # round 4: ('l','o') = 7 ties ('o','w') = 7; lex-smallest wins
+    assert got[3] == ("l", "o")
+    # round 5: after the lo merge, ('lo','w') = 7 is the unique max
+    assert got[4] == ("lo", "w")
+    assert merges[4][0] == 4                   # rank recorded
+
+
+def test_bpe_encode_counts(ray_session):
+    """After the 3 'est' merges, 'newest' is n-e-w-est</w> = 4 tokens and
+    'low' is l-o-w-</w> = 4; encode must apply merges by rank."""
+    import pyarrow as pa
+    from seo_crawler_ray.pipelines.textops import (bpe_encode_batch,
+                                                   bpe_train)
+    import ray.data
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    df = pd.DataFrame({"doc_id": [0], "text": [" ".join(words)]})
+    merges = bpe_train(ray.data.from_pandas(df), n_merges=3)
+    out = bpe_encode_batch(
+        pa.table({"doc_id": [0, 1], "text": ["newest", "low lower"]}),
+        merges)
+    m = dict(zip(out["doc_id"].to_pylist(),
+                 out["bpe_tokens"].to_pylist()))
+    assert m[0] == 4            # n e w est</w>
+    assert m[1] == 4 + 6        # l o w </w>  +  l o w e r </w>
