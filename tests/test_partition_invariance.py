@@ -80,6 +80,10 @@ DOC_OPS = {
     "validate_documents": lambda ds: __import__(
         "seo_crawler_ray.pipelines.textops", fromlist=["x"]
     ).validate_documents(ds),
+    "bpe_train": lambda ds: pd.DataFrame(
+        __import__("seo_crawler_ray.pipelines.textops",
+                   fromlist=["x"]).bpe_train(ds, n_merges=12),
+        columns=["rank", "left", "right"]),
 }
 
 EVENT_OPS = {
