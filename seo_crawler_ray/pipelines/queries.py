@@ -778,6 +778,11 @@ def q_validate_documents(sf_dir: str):
     return textops.validate_documents(_docs_ds(sf_dir))
 
 
+def q_lang_source_pivot(sf_dir: str):
+    """PIVOT: per-source wide language counts (combiner-side pivot)."""
+    return textops.lang_source_pivot(_docs_ds(sf_dir))
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training: the learned merge table (distributed word
     count + vocab-bounded driver merges). No SQL oracle (iterative
@@ -1219,6 +1224,7 @@ def queries() -> dict:
         "doc_packing": q_doc_packing,
         "repetition_stats": q_repetition_stats,
         "corpus_stats": q_corpus_stats,
+        "lang_source_pivot": q_lang_source_pivot,
         "validate_documents": q_validate_documents,
         "doc_length_quantiles": q_doc_length_quantiles,
         "doc_length_quantiles_by_source": q_doc_length_quantiles_by_source,
@@ -1852,6 +1858,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "doc_length_quantiles_by_source":
             textops.length_quantiles_by_sql("source"),
         "corpus_stats": textops.corpus_stats_sql(),
+        "lang_source_pivot": textops.lang_source_pivot_sql(),
         "validate_documents": textops.validate_documents_sql(),
         "stratified_sample": textops.stratified_sample_sql(k=20),
         "lm_surprisal": textops.lm_surprisal_sql(),

@@ -2356,3 +2356,42 @@ def bpe_encode_batch(batch: pa.Table, merges: list,
                           for w in LOWER_WORD_RE.findall(t.lower())))
     return pa.table({id_col: pa.array(ids, pa.int64()),
                      "bpe_tokens": pa.array(counts, pa.int64())})
+
+
+LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def lang_source_pivot(docs_ds, langs: tuple[str, ...] = LANGS):
+    """PIVOT surface: one row per source with a count column per
+    language (wide-form corpus composition). Per-batch partial counts
+    (one row per (source, batch)), groupby(source) sums the wide int
+    columns — the pivot happens in the combiner, so the shuffle is
+    already wide-form and the reduce is sources-sized."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": batch["source"].to_pylist(),
+                           "lang": batch["lang"].to_pylist()})
+        g = df.groupby("source", sort=False)
+        cols = {"source": pa.array(list(g.groups), pa.string())}
+        for lg in langs:
+            cols[f"n_{lg}"] = pa.array(
+                g["lang"].agg(lambda s, lg=lg: int((s == lg).sum()))
+                .to_numpy(np.int64))
+        return pa.table(cols)
+
+    return (docs_ds.select_columns(["source", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(*[Sum(f"n_{lg}", alias_name=f"n_{lg}")
+                         for lg in langs]))
+
+
+def lang_source_pivot_sql(langs: tuple[str, ...] = LANGS) -> str:
+    cols = ",\n           ".join(
+        f"CAST(count_if(lang = '{lg}') AS BIGINT) AS n_{lg}"
+        for lg in langs)
+    return f"""
+    SELECT source,
+           {cols}
+    FROM documents GROUP BY source"""
