@@ -38,7 +38,10 @@ def run_level(n_proc: int, n_pages: int) -> float:
     step = (n_pages + n_proc - 1) // n_proc
     ranges = [(i, min(i + step, n_pages)) for i in range(0, n_pages, step)]
     t0 = time.perf_counter()
-    with mp.Pool(n_proc) as pool:
+    # _PAGES reaches workers via fork copy-on-write; make the dependency on
+    # fork semantics explicit so a spawn/forkserver default can't hand
+    # workers _PAGES=None
+    with mp.get_context("fork").Pool(n_proc) as pool:
         done = sum(pool.map(_worker, ranges))
     dt = time.perf_counter() - t0
     assert done > 0

@@ -26,7 +26,17 @@ _BUCKET = "_cs_bucket"
 
 
 def string_buckets(arr, n_buckets: int = N_BUCKETS) -> np.ndarray:
-    """Deterministic string -> bucket id (int32), vectorized."""
+    """Deterministic key -> bucket id (int32), vectorized. Integer keys
+    (the TPC-H dimension joins) take a no-object-allocation numpy path;
+    both sides of a join must present the key in the same type family
+    for the buckets to line up."""
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)) \
+            and pa.types.is_integer(arr.type):
+        vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if not len(vals):
+            return np.array([], dtype=np.int32)
+        h = pd.util.hash_array(vals)
+        return (h % np.uint64(n_buckets)).astype(np.int32)
     vals = arr.to_pylist() if isinstance(arr, (pa.Array, pa.ChunkedArray)) \
         else list(arr)
     if not vals:

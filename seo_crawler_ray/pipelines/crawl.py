@@ -480,6 +480,14 @@ class CrawlJob:
             t = _mark("extract", t)
 
         remaining = max(0, cfg.max_urls - crawled_total - n_frontier)
+        # settle the PREVIOUS wave's seen/politeness snapshot RPCs before
+        # this wave's frontier build issues any register RPC: registers can
+        # come from Ray Data worker tasks (different callers), and actor
+        # arrival order across callers is not FIFO — an unsettled snapshot
+        # could otherwise absorb this wave's registrations and a crash here
+        # would drop those URLs from the resumed frontier. Cheap: the RPCs
+        # overlapped the whole extract phase and normally settled long ago.
+        self._settle_snapshots()
         n_cand = candidates.count()   # metadata on the materialized dataset
         if n_cand <= cfg.wave_compact_threshold:
             n_next, host_counts = self._build_frontier_compact(
@@ -732,9 +740,11 @@ class CrawlJob:
 
         Snapshot content is determined when the actor executes the call:
         all of THIS wave's register RPCs were settled by the frontier
-        build (ray.get), and the next wave's registers are only submitted
-        by extract tasks that start after this method returns — so the
-        snapshot cannot absorb future-wave state.
+        build (ray.get) before this method runs, and the NEXT wave's
+        frontier build calls ``_settle_snapshots`` before issuing any
+        register RPC — actor arrival order across different callers is
+        not FIFO, so the explicit settle (not send order) is what stops
+        the snapshot absorbing future-wave registrations.
 
         Durability: the marker is written by a remote task CHAINED on the
         snapshot refs (``_write_marker``), so it appears as soon as the
@@ -753,9 +763,20 @@ class CrawlJob:
         refs += [p.checkpoint.remote(self._p("politeness", f"wave={wave}", f"shard={i}.parquet"))
                  for i, p in enumerate(politeness)]
         # marker task depends on every snapshot ref (passed positionally so
-        # Ray resolves them before scheduling — no ray.get inside)
-        marker_ref = _write_marker.remote(self._marker(wave), *refs)
+        # Ray resolves them before scheduling — no ray.get inside); pinned
+        # to the driver's node so the marker lands on the same filesystem
+        # as the driver-written metrics/lineage files even when out_dir is
+        # not shared storage (if the driver node dies, the job dies with it,
+        # so the hard pin costs nothing)
+        from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+        marker_ref = _write_marker.options(
+            scheduling_strategy=NodeAffinitySchedulingStrategy(
+                node_id=ray.get_runtime_context().get_node_id(), soft=False),
+        ).remote(self._marker(wave), *refs)
         self._pending_ckpt = (wave, marker_ref)
+        # the next wave's frontier build settles these before registering
+        # anything (see _run_wave) — cross-caller actor ordering guard
+        self._pending_snapshots = refs
         meta = dict(self.metrics[-1]) if self.metrics else {}
         meta["crawled_total"] = crawled_total
         with open(self._p(f"metrics_wave_{wave}.json"), "w") as f:
@@ -781,6 +802,15 @@ class CrawlJob:
         }
         with open(self._p(f"lineage_wave_{wave}.json"), "w") as f:
             json.dump(lineage, f, indent=1)
+
+    def _settle_snapshots(self) -> None:
+        """Block (normally ~ms) until the previous wave's snapshot RPCs have
+        executed on the seen/politeness actors, so no later register RPC
+        can be absorbed into that snapshot."""
+        refs = getattr(self, "_pending_snapshots", None)
+        if refs:
+            self._pending_snapshots = None
+            ray.get(refs)
 
     def _finalize_checkpoint(self, timeout: float | None = None) -> None:
         """Settle the in-flight marker task (which itself waited on every

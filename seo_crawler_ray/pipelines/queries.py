@@ -17,6 +17,7 @@ sidecar files exist regardless of invocation order.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 
@@ -783,11 +784,19 @@ def q_lang_source_pivot(sf_dir: str):
     return textops.lang_source_pivot(_docs_ds(sf_dir))
 
 
+@functools.lru_cache(maxsize=4)
+def _bpe_merges_for(sf_dir: str, n_merges: int = 32):
+    """Memoized per (sf_dir, n_merges): q_bpe_merges and q_bpe_token_counts
+    run in the same registry sweep and would otherwise each pay the full
+    distributed word-count + driver merge loop."""
+    return textops.bpe_train(_docs_ds(sf_dir), n_merges=n_merges)
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training: the learned merge table (distributed word
     count + vocab-bounded driver merges). No SQL oracle (iterative
     symbol rewriting); Sennrich worked-example pytest-pinned."""
-    merges = textops.bpe_train(_docs_ds(sf_dir), n_merges=32)
+    merges = _bpe_merges_for(sf_dir)
     return pa.table({
         "rank": pa.array([r for r, _, _ in merges], pa.int64()),
         "left": pa.array([l for _, l, _ in merges], pa.string()),
@@ -797,7 +806,7 @@ def q_bpe_merges(sf_dir: str):
 def q_bpe_token_counts(sf_dir: str):
     """Per-doc token counts under the learned BPE (broadcast merge
     table, pure map)."""
-    merges = textops.bpe_train(_docs_ds(sf_dir), n_merges=32)
+    merges = _bpe_merges_for(sf_dir)
     return _docs_ds(sf_dir).map_batches(
         textops.bpe_encode_batch, batch_format="pyarrow",
         fn_kwargs={"merges": merges})
@@ -924,68 +933,127 @@ def q_lineitem_pricing(sf_dir: str):
     return pdf.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
-def q_orders_by_region(sf_dir: str):
-    """Four-way dimension chain orders->customer->nation->region with the
-    dim side pre-joined driver-side and broadcast (snowflake pattern)."""
-    from ray.data.aggregate import Count, Sum
-    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                           columns=["c_custkey", "c_nationkey"])
+# Above this many customer rows the custkey->name dict stops being a sane
+# broadcast (same gate shape as analysis.BROADCAST_PAGE_LIMIT) and the
+# dimension join switches to the bucketed co-shuffle: customer never
+# leaves Ray Data, only the ≤25-row nation/region tables ride driver-side.
+DIM_BROADCAST_LIMIT = 2_000_000
+
+
+def _nationkey_name_lookup(sf_dir: str, level: str) -> dict:
+    """nationkey -> nation/region name; nation (25 rows) and region (5)
+    are the only tables ever read on the driver."""
     nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    if level == "nation":
+        return dict(zip(nation["n_nationkey"], nation["n_name"]))
     region = pd.read_parquet(os.path.join(sf_dir, "region.parquet"))
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey") \
-              .merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    lookup_ref = ray.put(dict(zip(dim["c_custkey"], dim["r_name"])))
+    m = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    return dict(zip(m["n_nationkey"], m["r_name"]))
 
-    def attach(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(k, "") for k in batch["o_custkey"].to_pylist()]
-        cents = arrowutil.round_half_up(
-            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
-        return pa.table({"region": pa.array(names),
-                         "cents": pa.array(cents)})
 
-    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                                   columns=["o_custkey", "o_totalprice"])
-    agg = orders.map_batches(attach, batch_format="pyarrow") \
-        .groupby("region").aggregate(Sum("cents", alias_name="total_cents"),
-                                     Count(alias_name="order_cnt"))
+def orders_by_dim(sf_dir: str, level: str, mode: str = "auto",
+                  broadcast_limit: int = DIM_BROADCAST_LIMIT) -> pd.DataFrame:
+    """Snowflake dimension join orders->customer->nation(->region),
+    grouped by the dimension name (columns: level, total_cents, order_cnt).
+
+    mode='broadcast' (auto while customer fits the gate): the custkey->name
+    mapping rides as broadcast sorted numpy arrays, probed with
+    np.searchsorted — no per-row dict.get loop. mode='bucketed' (auto
+    above — 100 TB path): customer streams through a map that stamps the
+    name from the tiny nation/region lookup, then a hash-bucket co-shuffle
+    left join against orders (coshuffle.bucketed_left_attach); neither big
+    side is ever driver-resident.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    nk2name = _nationkey_name_lookup(sf_dir, level)
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    if mode == "auto":
+        n_cust = pq.read_metadata(cust_path).num_rows
+        mode = "broadcast" if n_cust <= broadcast_limit else "bucketed"
+
+    def order_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "cents": pa.array(arrowutil.round_half_up(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100)),
+        })
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).map_batches(order_cents, batch_format="pyarrow")
+
+    if mode == "bucketed":
+        from .coshuffle import bucketed_left_attach
+        # dense small lookup: nationkeys are 0..24, so an indexable numpy
+        # array replaces the dict in the hot map
+        max_nk = max(nk2name)
+        names_by_nk = np.array([nk2name.get(i, "") for i in range(max_nk + 1)],
+                               dtype=object)
+
+        def cust_name(batch: pa.Table) -> pa.Table:
+            nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "c_custkey": batch["c_custkey"],
+                level: pa.array(names_by_nk[nk], pa.string()),
+            })
+
+        dim_ds = ray.data.read_parquet(
+            cust_path, columns=["c_custkey", "c_nationkey"],
+        ).map_batches(cust_name, batch_format="pyarrow")
+        attached = bucketed_left_attach(orders, "o_custkey", dim_ds,
+                                        "c_custkey", level,
+                                        out_col=level, out_type=pa.string())
+
+        def coalesce(batch: pa.Table) -> pa.Table:
+            # broadcast-path parity: unmatched custkeys group under ""
+            i = batch.column_names.index(level)
+            return batch.set_column(i, level, pc.fill_null(batch[level], ""))
+
+        agg = attached.map_batches(coalesce, batch_format="pyarrow") \
+            .groupby(level).aggregate(Sum("cents", alias_name="total_cents"),
+                                      Count(alias_name="order_cnt"))
+    else:
+        cust = pd.read_parquet(cust_path,
+                               columns=["c_custkey", "c_nationkey"])
+        keys = cust["c_custkey"].to_numpy(dtype=np.int64)
+        names = cust["c_nationkey"].map(nk2name).to_numpy(dtype=object)
+        order = np.argsort(keys, kind="stable")
+        lookup_ref = ray.put((keys[order], names[order]))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            keys_sorted, names_sorted = ray.get(lookup_ref)
+            ks = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(keys_sorted, ks), 0,
+                          len(keys_sorted) - 1)
+            hit = keys_sorted[idx] == ks
+            vals = np.where(hit, names_sorted[idx], "")
+            return pa.table({level: pa.array(vals, pa.string()),
+                             "cents": batch["cents"]})
+
+        agg = orders.map_batches(attach, batch_format="pyarrow") \
+            .groupby(level).aggregate(Sum("cents", alias_name="total_cents"),
+                                      Count(alias_name="order_cnt"))
+
     pdf = agg.to_pandas()
     pdf["total_cents"] = pdf["total_cents"].astype("int64")
     pdf["order_cnt"] = pdf["order_cnt"].astype("int64")
-    return pdf.sort_values("region").reset_index(drop=True)
+    return pdf.sort_values(level).reset_index(drop=True)
+
+
+def q_orders_by_region(sf_dir: str):
+    """Four-way dimension chain orders->customer->nation->region; see
+    orders_by_dim for the broadcast/bucketed auto-switch."""
+    return orders_by_dim(sf_dir, "region")
 
 
 def q_orders_by_nation(sf_dir: str):
-    """Multi-way dimension join: orders x customer x nation, grouped by
-    nation name. The dimension side (customer->nation name) is broadcast
-    once; the fact table streams."""
-    from ray.data.aggregate import Count, Sum
-    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                           columns=["c_custkey", "c_nationkey"])
-    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
-    name_col = "n_name" if "n_name" in nation.columns else nation.columns[1]
-    key_col = "n_nationkey" if "n_nationkey" in nation.columns else nation.columns[0]
-    cust = cust.merge(nation[[key_col, name_col]], left_on="c_nationkey",
-                      right_on=key_col)
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust[name_col])))
-
-    def attach(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(k, "") for k in batch["o_custkey"].to_pylist()]
-        cents = arrowutil.round_half_up(
-            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100)
-        return pa.table({"nation": pa.array(names),
-                         "cents": pa.array(cents)})
-
-    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                                   columns=["o_custkey", "o_totalprice"])
-    agg = orders.map_batches(attach, batch_format="pyarrow") \
-        .groupby("nation").aggregate(Sum("cents", alias_name="total_cents"),
-                                     Count(alias_name="order_cnt"))
-    pdf = agg.to_pandas()
-    pdf["total_cents"] = pdf["total_cents"].astype("int64")
-    pdf["order_cnt"] = pdf["order_cnt"].astype("int64")
-    return pdf.sort_values("nation").reset_index(drop=True)
+    """Multi-way dimension join orders x customer x nation; see
+    orders_by_dim for the broadcast/bucketed auto-switch."""
+    return orders_by_dim(sf_dir, "nation")
 
 
 def q_events_asof_order(sf_dir: str):

@@ -25,7 +25,6 @@ import os
 import zlib
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
@@ -33,10 +32,29 @@ def url_bucket(url: str, n_buckets: int) -> int:
     return zlib.crc32(url.encode("utf-8")) % n_buckets
 
 
+def _append_bucket_column(batch: pa.Table, n_buckets: int) -> pa.Table:
+    # crc32 has no Arrow/numpy vectorized kernel; zlib.crc32 is a C call
+    # per string, and this runs distributed inside Ray Data map tasks so
+    # only one batch is resident per worker at a time.
+    buckets = pa.array(
+        [zlib.crc32(u.encode("utf-8")) % n_buckets
+         for u in batch["url"].to_pylist()], pa.int32())
+    return batch.append_column("bucket", buckets)
+
+
 def build_bucketed_store(corpus_dir: str, out_dir: str, n_buckets: int = 64) -> str:
     """One-time bucketing of the corpus by hash(url). Deterministic, atomic
-    (tmp + rename); idempotent per (corpus, n_buckets)."""
-    final = os.path.join(out_dir, f"buckets={n_buckets}")
+    (tmp + rename); idempotent per (corpus, n_buckets).
+
+    Runs as two Ray Data pipelines (pages and the narrow meta side are
+    bucketed independently and re-joined per bucket at read time), so the
+    driver never materializes the corpus: each map task holds one batch,
+    and ``write_parquet(partition_cols=["bucket"])`` streams blocks to the
+    hive layout ``{pages,meta}/bucket=N/*.parquet``. At a 100 TB corpus
+    this is the only build shape that works — the previous implementation
+    pulled the whole corpus into driver memory.
+    """
+    final = os.path.join(out_dir, f"buckets={n_buckets}-hive")
     marker = os.path.join(final, "_OK")
     if os.path.exists(marker):
         return final
@@ -45,19 +63,18 @@ def build_bucketed_store(corpus_dir: str, out_dir: str, n_buckets: int = 64) -> 
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
 
-    pages = pq.read_table(os.path.join(corpus_dir, "pages.parquet"),
-                          columns=["url", "html"])
-    meta = pq.read_table(os.path.join(corpus_dir, "meta.parquet"),
-                         columns=["status_code", "content_type_header"])
-    tbl = pa.table({"url": pages["url"], "html": pages["html"],
-                    "status_code": meta["status_code"],
-                    "content_type_header": meta["content_type_header"]})
-    buckets = pa.array([url_bucket(u, n_buckets)
-                        for u in tbl["url"].to_pylist()], pa.int32())
-    tbl = tbl.append_column("bucket", buckets)
-    for b in range(n_buckets):
-        part = tbl.filter(pc.equal(tbl["bucket"], b)).drop_columns(["bucket"])
-        pq.write_table(part, os.path.join(tmp, f"bucket-{b:05d}.parquet"))
+    import ray.data
+    (ray.data.read_parquet(os.path.join(corpus_dir, "pages.parquet"),
+                           columns=["url", "html"])
+        .map_batches(_append_bucket_column, batch_format="pyarrow",
+                     fn_kwargs={"n_buckets": n_buckets})
+        .write_parquet(os.path.join(tmp, "pages"), partition_cols=["bucket"]))
+    (ray.data.read_parquet(os.path.join(corpus_dir, "meta.parquet"),
+                           columns=["url", "status_code",
+                                    "content_type_header"])
+        .map_batches(_append_bucket_column, batch_format="pyarrow",
+                     fn_kwargs={"n_buckets": n_buckets})
+        .write_parquet(os.path.join(tmp, "meta"), partition_cols=["bucket"]))
     with open(os.path.join(tmp, "_OK"), "w") as f:
         f.write("ok")
     try:
@@ -79,12 +96,21 @@ class BucketedFetcher:
     def _bucket_index(self, b: int) -> dict[str, tuple]:
         idx = self._cache.get(b)
         if idx is None:
-            path = os.path.join(self.store_dir, f"bucket-{b:05d}.parquet")
-            t = pq.read_table(path)
-            idx = {u: (h, s, c) for u, h, s, c in zip(
-                t["url"].to_pylist(), t["html"].to_pylist(),
-                t["status_code"].to_pylist(),
-                t["content_type_header"].to_pylist())}
+            pages_dir = os.path.join(self.store_dir, "pages", f"bucket={b}")
+            meta_dir = os.path.join(self.store_dir, "meta", f"bucket={b}")
+            if not os.path.isdir(pages_dir):  # empty bucket: no hive dir
+                idx = {}
+            else:
+                p = pq.read_table(pages_dir, columns=["url", "html"])
+                m = pq.read_table(meta_dir, columns=["url", "status_code",
+                                                     "content_type_header"])
+                meta_by_url = {u: (s, c) for u, s, c in zip(
+                    m["url"].to_pylist(), m["status_code"].to_pylist(),
+                    m["content_type_header"].to_pylist())}
+                idx = {}
+                for u, h in zip(p["url"].to_pylist(), p["html"].to_pylist()):
+                    s, c = meta_by_url[u]
+                    idx[u] = (h, s, c)
             if len(self._cache) >= self.cache_buckets:
                 self._cache.pop(next(iter(self._cache)))
             self._cache[b] = idx

@@ -2,6 +2,8 @@
 URL-seen set, link records, page fields, linked_from, issues — the parity
 contract of BASELINE.json's north rule ("matching the reference's crawl
 ordering and URL-seen set under the same seed list + politeness budget")."""
+import os
+
 import pyarrow.dataset as pads
 import pytest
 
@@ -177,6 +179,41 @@ def test_bucketed_corpus_mode_identical(ray_session, tiny_corpus, tmp_path):
                               pages["url"].to_pylist()))
     assert outs["broadcast"] == outs["bucketed"]
     assert outs["broadcast"] == outs["bucketed_dist"]
+
+
+def test_bucketed_store_build_is_distributed(ray_session, tiny_corpus,
+                                             tmp_path, monkeypatch):
+    """The one-time bucket build must run as Ray Data pipelines (blocks
+    stream through write_parquet), never a driver-side read of the whole
+    corpus: pq.read_table on the driver during the build is a scale bug at
+    a 100 TB corpus. The resulting store must serve lookups identical to
+    the broadcast fetcher for every corpus URL plus a miss."""
+    import pyarrow.parquet as pq
+    from seo_crawler_ray.sources import corpus_store as cs
+    from seo_crawler_ray.sources.corpus_store import (
+        BroadcastFetcher, BucketedFetcher, build_bucketed_store)
+
+    def _forbid(*a, **k):
+        raise AssertionError("driver-side pq.read_table during bucket build")
+    monkeypatch.setattr(cs.pq, "read_table", _forbid)
+    store = build_bucketed_store(tiny_corpus, str(tmp_path / "b"), 16)
+    monkeypatch.undo()
+
+    assert os.path.exists(os.path.join(store, "_OK"))
+    assert os.path.isdir(os.path.join(store, "pages"))
+
+    pages = pq.read_table(os.path.join(tiny_corpus, "pages.parquet"),
+                          columns=["url", "html"])
+    meta = pq.read_table(os.path.join(tiny_corpus, "meta.parquet"),
+                         columns=["status_code", "content_type_header"])
+    corpus = pages.append_column("status_code", meta["status_code"]) \
+                  .append_column("content_type_header",
+                                 meta["content_type_header"])
+    urls = corpus["url"].to_pylist() + ["https://nowhere.example/miss"]
+    got = BucketedFetcher(store, 16).lookup(urls)
+    want = BroadcastFetcher(corpus).lookup(urls)
+    assert got == want
+    assert got[-1] is None
 
 
 def test_caps_max_urls_and_depth(ray_session, tiny_corpus, tmp_path,

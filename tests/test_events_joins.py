@@ -209,6 +209,17 @@ def test_orders_rollup_levels_consistent(ray_session):
     assert subs["order_cnt"].sum() == grand["order_cnt"]
 
 
+def test_orders_by_dim_bucketed_matches_broadcast(ray_session):
+    """The 100 TB path for the snowflake dimension joins: the bucketed
+    co-shuffle (customer never driver-resident) must produce exactly the
+    broadcast-dict result for both dimension levels."""
+    from seo_crawler_ray.pipelines.queries import orders_by_dim
+    for level in ("nation", "region"):
+        bc = orders_by_dim("/root/testdata/sf0.001", level, mode="broadcast")
+        bk = orders_by_dim("/root/testdata/sf0.001", level, mode="bucketed")
+        pd.testing.assert_frame_equal(bc, bk)
+
+
 def test_customer_running_revenue_monotone_and_total(ray_session):
     from seo_crawler_ray.pipelines.queries import q_customer_running_revenue
     from seo_crawler_ray.pipelines.arrowutil import round_half_up
