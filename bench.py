@@ -135,7 +135,9 @@ def run_scaling() -> dict:
     multi-node scaling. Both are reported; the headline efficiency is the
     (2, 8) pair, with (8, 32) and the inflation analysis in BASELINE.md.
     """
-    pair_env = os.environ.get("RAY_GRAFT_SCALING_PAIRS", "2:8,8:32")
+    # (4, 16) is a mid pair: still N->4N, fully below the DRAM ceiling,
+    # and robust to the 8-CPU-leg load-inflation outliers seen at (2, 8)
+    pair_env = os.environ.get("RAY_GRAFT_SCALING_PAIRS", "2:8,4:16,8:32")
     pairs = [tuple(int(x) for x in p.split(":")) for p in pair_env.split(",")]
 
     def run(ncpu: int) -> dict:

@@ -34,6 +34,7 @@ import ray
 
 from ..functions.extract import empty_result, extract_page
 from ..functions.urls import ShouldCrawl, is_internal
+from ..sources.livefetch import TooLarge
 
 LINK_IDX_BITS = 21
 
@@ -119,6 +120,11 @@ class FetchExtract:
         if fetch_desc[0] == "broadcast":
             # zero-copy from plasma
             self.fetcher = BroadcastFetcher(ray.get(fetch_desc[1]))
+        elif fetch_desc[0] == "live":
+            # real HTTP: session built once per worker process, reused
+            # across all waves (livefetch.py; reference crawler.py:805-818)
+            from ..sources.livefetch import LiveFetcher
+            self.fetcher = LiveFetcher(**(fetch_desc[1] or {}))
         else:
             self.fetcher = BucketedFetcher(fetch_desc[1], fetch_desc[2])
         robots = ray.get(robots_ref)
@@ -150,6 +156,12 @@ class FetchExtract:
             # a live crawl would raise in requests -> create_empty_result
             # (crawler.py:916-918)
             result = empty_result(url, depth, 0, "fetch failed: not in corpus")
+            link_records, outlinks = [], []
+        elif isinstance(hit, TooLarge):
+            # live HEAD gate tripped before the body was downloaded
+            # (crawler.py:798-801)
+            result = empty_result(
+                url, depth, 0, f"File too large: {hit.content_length} bytes")
             link_records, outlinks = [], []
         elif not self.enable_js and self.max_file_size > 0 \
                 and len(hit[0]) > self.max_file_size:
@@ -213,7 +225,9 @@ _CTX_CACHE: dict[tuple, FetchExtract] = {}
 
 
 def _desc_key(fetch_desc) -> str:
-    return fetch_desc[1].hex() if fetch_desc[0] == "broadcast" else str(fetch_desc[1])
+    if fetch_desc[0] == "broadcast":
+        return fetch_desc[1].hex()
+    return str(fetch_desc[1])  # bucketed: store path; live: kwargs dict
 
 
 def fetch_extract_batch(batch: pa.Table, *, fetch_desc, robots_ref,
