@@ -1020,7 +1020,8 @@ def orders_by_dim(sf_dir: str, level: str, mode: str = "auto",
         cust = pd.read_parquet(cust_path,
                                columns=["c_custkey", "c_nationkey"])
         keys = cust["c_custkey"].to_numpy(dtype=np.int64)
-        names = cust["c_nationkey"].map(nk2name).to_numpy(dtype=object)
+        names = cust["c_nationkey"].map(nk2name).fillna("") \
+            .to_numpy(dtype=object)
         order = np.argsort(keys, kind="stable")
         lookup_ref = ray.put((keys[order], names[order]))
 
