@@ -63,7 +63,11 @@ class CrawlConfig:
                                    # else "bucketed" (hash(url)%B parquet
                                    # buckets fetched per batch)
     corpus_broadcast_limit: int = 2 << 30
-    corpus_buckets: int = 64
+    corpus_buckets: int = 0        # 0 = auto: corpus bytes / target bucket
+                                   # size, so buckets stay worker-heap-sized
+                                   # at any corpus scale (a FIXED count
+                                   # would mean 1.5 TB buckets at 100 TB)
+    corpus_bucket_bytes: int = 256 << 20   # auto mode's target bucket size
     seen_shards: int = 8           # URL-seen actor shards; scale with cluster size
     seen_capacity: int = 1 << 20   # per-shard cuckoo capacity; 10^10-URL deployments size this up
     seen_exact: bool = True        # keep exact 64-bit spill set alongside the filter (parity mode)

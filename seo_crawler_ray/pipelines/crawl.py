@@ -230,10 +230,17 @@ class CrawlJob:
         self._corpus_mode = corpus_mode
         if corpus_mode == "bucketed":
             from ..sources.corpus_store import build_bucketed_store
+            n_buckets = cfg.corpus_buckets
+            if n_buckets <= 0:   # auto: keep each bucket worker-heap-sized
+                on_disk = os.path.getsize(os.path.join(self.corpus_dir,
+                                                       "pages.parquet"))
+                n_buckets = max(64, -(-on_disk // cfg.corpus_bucket_bytes))
             store = build_bucketed_store(
                 self.corpus_dir, os.path.join(self.corpus_dir, "bucketed"),
-                cfg.corpus_buckets)
-            fetch_desc = ("bucketed", store, cfg.corpus_buckets)
+                n_buckets)
+            fetch_desc = ("bucketed", store, n_buckets)
+            self._corpus_buckets = n_buckets   # resolved count: frontier
+                                               # realignment keys on it
             n_corpus = pq.read_metadata(
                 os.path.join(self.corpus_dir, "pages.parquet")).num_rows
         else:
@@ -372,7 +379,7 @@ class CrawlJob:
         os.makedirs(next_dir, exist_ok=True)
         if tbl.num_rows and getattr(self, "_corpus_mode", "") == "bucketed":
             from ..sources.corpus_store import url_bucket
-            nb = self.config.corpus_buckets
+            nb = self._corpus_buckets
             order = np.argsort(
                 np.fromiter((url_bucket(u, nb)
                              for u in tbl["url"].to_pylist()),
@@ -564,7 +571,7 @@ class CrawlJob:
                       for r, o, c in zip(refs, offsets, counts) if c]
             realigned = (ray.data.from_arrow_refs(ranked)
                          .map_batches(_add_corpus_bucket, batch_format="pyarrow",
-                                      fn_kwargs={"n_buckets": self.config.corpus_buckets})
+                                      fn_kwargs={"n_buckets": self._corpus_buckets})
                          .sort("_cbucket").drop_columns(["_cbucket"])
                          .materialize())
             refs, counts = _blocks_with_counts(realigned)
