@@ -140,3 +140,34 @@ PAGE_OPS = {
 def test_page_op_partition_invariant(ray_session, pages_pdf, name):
     a, b = _two_layouts(pages_pdf, PAGE_OPS[name])
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_int_key_bucketed_attach_partition_invariant(ray_session):
+    """The integer-key bucketed co-shuffle (dimension-join scale path) must
+    not depend on block layout of either side, including unmatched keys."""
+    import ray.data
+    from seo_crawler_ray.pipelines.coshuffle import bucketed_left_attach
+    import pyarrow as pa
+
+    rng = np.random.RandomState(53)
+    left = pd.DataFrame({"k": rng.randint(0, 400, 900).astype("int64"),
+                         "v": np.arange(900, dtype="int64")})
+    right = pd.DataFrame({"rk": np.arange(0, 350, dtype="int64"),
+                          "name": [f"n{i}" for i in range(350)]})
+
+    def run(l_parts, r_parts, shuffle_seed):
+        l = ray.data.from_pandas(
+            left.sample(frac=1, random_state=shuffle_seed)).repartition(l_parts)
+        r = ray.data.from_pandas(
+            right.sample(frac=1, random_state=shuffle_seed + 1)
+        ).repartition(r_parts)
+        out = bucketed_left_attach(l, "k", r, "rk", "name",
+                                   out_col="name", out_type=pa.string())
+        return _sorted(out.to_pandas())
+
+    a = run(1, 1, 3)
+    b = run(11, 7, 9)
+    pd.testing.assert_frame_equal(a, b)
+    # unmatched keys (>=350) must survive as nulls, not vanish
+    assert a[a["k"] >= 350]["name"].isna().all()
+    assert len(a) == 900
