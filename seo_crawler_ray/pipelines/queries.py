@@ -319,22 +319,16 @@ def _pages_meta_path(cdir: str) -> str:
 
 def q_extract_pages(sf_dir: str):
     cdir = _corpus(sf_dir)
-    import pyarrow.parquet as pq
     with open(os.path.join(cdir, "corpus_meta.json")) as f:
         base_domain = json.load(f)["base_domain"]
-    try:
-        n_cpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        n_cpu = 8
-    merged = _pages_meta_path(cdir)
-    n_rows = pq.read_metadata(merged).num_rows
-    ds = ray.data.read_parquet(
-        merged,
-        columns=["url", "html", "status_code", "content_type_header"],
-        # 4 blocks per CPU: task wall times vary ~5x with page size, so a
-        # 2/CPU split leaves a long straggler tail (measured 12.1s -> 8.8s
-        # at sf0.1/32cpu going 64 -> 128 blocks)
-        override_num_blocks=max(1, min(n_cpu * 4, n_rows // 128 + 1)))
+    # row-group-parallel scan: Ray's reader is one task per FILE, which
+    # serialized this whole read before extraction could start (measured
+    # 10.8 s of a 13.5 s pipeline at sf0.01/16cpu); the row-group Dataset
+    # fuses read+extract into one streamed task per group
+    from ..sources.parquet_io import read_parquet_rowgroups
+    ds = read_parquet_rowgroups(
+        _pages_meta_path(cdir),
+        columns=["url", "html", "status_code", "content_type_header"])
     return ds.map_batches(extract_all_batch, batch_format="pyarrow",
                           fn_kwargs={"base_domain": base_domain},
                           batch_size=None, num_cpus=1)
@@ -348,8 +342,9 @@ def q_extract_text(sf_dir: str):
     import hashlib
 
     cdir = _corpus(sf_dir)
-    ds = ray.data.read_parquet(os.path.join(cdir, "pages.parquet"),
-                               columns=["url", "html", "text"])
+    from ..sources.parquet_io import read_parquet_rowgroups
+    ds = read_parquet_rowgroups(os.path.join(cdir, "pages.parquet"),
+                                columns=["url", "html", "text"])
 
     def text_hash(batch: pa.Table) -> pa.Table:
         from ..htmlparse.dom import parse_html
@@ -388,8 +383,9 @@ def q_js_render(sf_dir: str):
     import hashlib
     from ..stages.jsrender import render_pages
     cdir = _corpus(sf_dir)
-    ds = ray.data.read_parquet(os.path.join(cdir, "pages.parquet"),
-                               columns=["url", "html"])
+    from ..sources.parquet_io import read_parquet_rowgroups
+    ds = read_parquet_rowgroups(os.path.join(cdir, "pages.parquet"),
+                                columns=["url", "html"])
 
     def digest(batch: pa.Table) -> pa.Table:
         md5 = [hashlib.md5(h.encode("utf-8")).hexdigest()
@@ -408,16 +404,18 @@ def q_multimodal_frames(sf_dir: str):
     hex(blob) slices)."""
     from ..stages.multimodal import sample_frames
     cdir = _corpus(sf_dir)
-    ds = ray.data.read_parquet(os.path.join(cdir, "pages.parquet"),
-                               columns=["url", "html"])
+    from ..sources.parquet_io import read_parquet_rowgroups
+    ds = read_parquet_rowgroups(os.path.join(cdir, "pages.parquet"),
+                                columns=["url", "html"])
     return sample_frames(ds)
 
 
 def q_multimodal_features(sf_dir: str):
     from ..stages.multimodal import binary_features
     cdir = _corpus(sf_dir)
-    ds = ray.data.read_parquet(os.path.join(cdir, "pages.parquet"),
-                               columns=["url", "html"])
+    from ..sources.parquet_io import read_parquet_rowgroups
+    ds = read_parquet_rowgroups(os.path.join(cdir, "pages.parquet"),
+                                columns=["url", "html"])
     return binary_features(ds)
 
 

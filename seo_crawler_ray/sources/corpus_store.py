@@ -63,15 +63,15 @@ def build_bucketed_store(corpus_dir: str, out_dir: str, n_buckets: int = 64) -> 
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
 
-    import ray.data
-    (ray.data.read_parquet(os.path.join(corpus_dir, "pages.parquet"),
-                           columns=["url", "html"])
+    from .parquet_io import read_parquet_rowgroups
+    (read_parquet_rowgroups(os.path.join(corpus_dir, "pages.parquet"),
+                            columns=["url", "html"])
         .map_batches(_append_bucket_column, batch_format="pyarrow",
                      fn_kwargs={"n_buckets": n_buckets})
         .write_parquet(os.path.join(tmp, "pages"), partition_cols=["bucket"]))
-    (ray.data.read_parquet(os.path.join(corpus_dir, "meta.parquet"),
-                           columns=["url", "status_code",
-                                    "content_type_header"])
+    (read_parquet_rowgroups(os.path.join(corpus_dir, "meta.parquet"),
+                            columns=["url", "status_code",
+                                     "content_type_header"])
         .map_batches(_append_bucket_column, batch_format="pyarrow",
                      fn_kwargs={"n_buckets": n_buckets})
         .write_parquet(os.path.join(tmp, "meta"), partition_cols=["bucket"]))
