@@ -221,24 +221,33 @@ class CrawlJob:
         corpus_mode = cfg.corpus_mode
         if corpus_mode == "auto":
             # broadcast (one ray.put, zero per-batch fetch cost) while the
-            # corpus fits comfortably in the object store; bucketed parquet
-            # fetch beyond that — at 100 TB bucketed is always selected
+            # corpus fits comfortably in the object store; the CDX-style
+            # offset store beyond that — at 100 TB offset is always selected
             on_disk = os.path.getsize(os.path.join(self.corpus_dir,
                                                    "pages.parquet"))
-            corpus_mode = ("bucketed" if on_disk > cfg.corpus_broadcast_limit
+            corpus_mode = ("offset" if on_disk > cfg.corpus_broadcast_limit
                            else "broadcast")
         self._corpus_mode = corpus_mode
-        if corpus_mode == "bucketed":
-            from ..sources.corpus_store import build_bucketed_store
+        if corpus_mode in ("bucketed", "offset"):
             n_buckets = cfg.corpus_buckets
             if n_buckets <= 0:   # auto: keep each bucket worker-heap-sized
                 on_disk = os.path.getsize(os.path.join(self.corpus_dir,
                                                        "pages.parquet"))
                 n_buckets = max(64, -(-on_disk // cfg.corpus_bucket_bytes))
-            store = build_bucketed_store(
-                self.corpus_dir, os.path.join(self.corpus_dir, "bucketed"),
-                n_buckets)
-            fetch_desc = ("bucketed", store, n_buckets)
+            if corpus_mode == "offset":
+                # CDX-style point-lookup store: per-wave fetch cost is
+                # O(URLs dequeued), not O(buckets touched) — the scale
+                # default (offset_store.py)
+                from ..sources.offset_store import build_offset_store
+                store = build_offset_store(
+                    self.corpus_dir,
+                    os.path.join(self.corpus_dir, "bucketed"), n_buckets)
+            else:
+                from ..sources.corpus_store import build_bucketed_store
+                store = build_bucketed_store(
+                    self.corpus_dir,
+                    os.path.join(self.corpus_dir, "bucketed"), n_buckets)
+            fetch_desc = (corpus_mode, store, n_buckets)
             self._corpus_buckets = n_buckets   # resolved count: frontier
                                                # realignment keys on it
             n_corpus = pq.read_metadata(
@@ -377,7 +386,8 @@ class CrawlJob:
         import shutil
         shutil.rmtree(next_dir, ignore_errors=True)
         os.makedirs(next_dir, exist_ok=True)
-        if tbl.num_rows and getattr(self, "_corpus_mode", "") == "bucketed":
+        if tbl.num_rows and getattr(self, "_corpus_mode", "") in ("bucketed",
+                                                                   "offset"):
             from ..sources.corpus_store import url_bucket
             nb = self._corpus_buckets
             order = np.argsort(
@@ -561,7 +571,8 @@ class CrawlJob:
         refs, counts = _blocks_with_counts(mat)
         offsets = (np.concatenate(([0], np.cumsum(counts)[:-1]))
                    + rank_offset) if counts else []
-        if getattr(self, "_corpus_mode", "") == "bucketed" and sum(counts):
+        if getattr(self, "_corpus_mode", "") in ("bucketed", "offset") \
+                and sum(counts):
             # at-scale configuration (bucketed corpus + distributed waves):
             # assign ranks positionally first (dequeue order), then re-align
             # storage to corpus buckets with ONE narrow-row exchange so the

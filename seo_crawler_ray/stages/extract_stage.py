@@ -125,6 +125,11 @@ class FetchExtract:
             # across all waves (livefetch.py; reference crawler.py:805-818)
             from ..sources.livefetch import LiveFetcher
             self.fetcher = LiveFetcher(**(fetch_desc[1] or {}))
+        elif fetch_desc[0] == "offset":
+            # CDX-style point lookups (offset_store.py): per-wave fetch
+            # cost O(URLs dequeued), not O(buckets touched)
+            from ..sources.offset_store import OffsetFetcher
+            self.fetcher = OffsetFetcher(fetch_desc[1], fetch_desc[2])
         else:
             self.fetcher = BucketedFetcher(fetch_desc[1], fetch_desc[2])
         robots = ray.get(robots_ref)

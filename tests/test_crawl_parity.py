@@ -168,7 +168,9 @@ def test_bucketed_corpus_mode_identical(ray_session, tiny_corpus, tmp_path):
     # the distributed frontier path incl. the bucket-realignment exchange)
     for name, mode, thresh in (("broadcast", "broadcast", 10 ** 9),
                                ("bucketed", "bucketed", 10 ** 9),
-                               ("bucketed_dist", "bucketed", 0)):
+                               ("bucketed_dist", "bucketed", 0),
+                               ("offset", "offset", 10 ** 9),
+                               ("offset_dist", "offset", 0)):
         cfg = flagship_config(seen_shards=2, politeness_shards=2,
                               corpus_mode=mode, corpus_buckets=16,
                               wave_compact_threshold=thresh)
@@ -179,6 +181,35 @@ def test_bucketed_corpus_mode_identical(ray_session, tiny_corpus, tmp_path):
                               pages["url"].to_pylist()))
     assert outs["broadcast"] == outs["bucketed"]
     assert outs["broadcast"] == outs["bucketed_dist"]
+    assert outs["broadcast"] == outs["offset"]
+    assert outs["broadcast"] == outs["offset_dist"]
+
+
+def test_offset_store_lookup_matches_broadcast(ray_session, tiny_corpus,
+                                               tmp_path):
+    """The CDX-style offset store must serve lookups identical to the
+    broadcast fetcher for every corpus URL plus a miss, and its build must
+    write the per-bucket bin+index layout atomically."""
+    import pyarrow.parquet as pq
+    from seo_crawler_ray.sources.corpus_store import BroadcastFetcher
+    from seo_crawler_ray.sources.offset_store import (OffsetFetcher,
+                                                      build_offset_store)
+
+    store = build_offset_store(tiny_corpus, str(tmp_path / "ofs"), 16)
+    assert os.path.exists(os.path.join(store, "_OK"))
+
+    pages = pq.read_table(os.path.join(tiny_corpus, "pages.parquet"),
+                          columns=["url", "html"])
+    meta = pq.read_table(os.path.join(tiny_corpus, "meta.parquet"),
+                         columns=["status_code", "content_type_header"])
+    corpus = pages.append_column("status_code", meta["status_code"]) \
+                  .append_column("content_type_header",
+                                 meta["content_type_header"])
+    urls = corpus["url"].to_pylist() + ["https://nowhere.example/miss"]
+    got = OffsetFetcher(store, 16).lookup(urls)
+    want = BroadcastFetcher(corpus).lookup(urls)
+    assert got == want
+    assert got[-1] is None
 
 
 def test_bucketed_store_build_is_distributed(ray_session, tiny_corpus,
