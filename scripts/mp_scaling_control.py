@@ -60,12 +60,12 @@ def main():
               tbl["status_code"].to_pylist(),
               tbl["content_type_header"].to_pylist(), base)
     n = len(_PAGES[0])
-    levels = [2, 8, 32]
+    levels = [2, 4, 8, 16, 32]
     best = {}
     for lv in levels:
         best[lv] = min(run_level(lv, n) for _ in range(3))
     pairs = []
-    for lo, hi in ((2, 8), (8, 32)):
+    for lo, hi in ((2, 8), (4, 16), (8, 32)):
         eff = (best[lo] / best[hi]) / (hi / lo)
         pairs.append({"cpus_lo": lo, "cpus_hi": hi,
                       "sec_lo": round(best[lo], 2),
