@@ -46,7 +46,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Min
 
 from ..config import CrawlConfig
 from ..functions.urls import ShouldCrawl, normalize_seed
@@ -541,11 +540,22 @@ class CrawlJob:
 
     def _build_frontier_distributed(self, candidates, seen, remaining: int,
                                     rank_offset: int, wave: int):
-        """Scale path: groupby(url).min(key) shuffle + seen-filter tasks +
+        """Scale path: hash-bucket collapse shuffle + seen-filter tasks +
         distributed sort — for waves too large to collapse on the driver
-        (the normal case at the 10^10-URL design scale)."""
-        collapsed = candidates.groupby("url").aggregate(Min("key"), Min("depth"))
-        collapsed = collapsed.map_batches(_rename_collapsed, batch_format="pyarrow")
+        (the normal case at the 10^10-URL design scale).
+
+        The collapse shuffles on an int32 ``hash(url) % B`` bucket column
+        and dedups within each bucket with a vectorized sort+first pass —
+        equal urls always share a bucket, so the dedup is exact. A direct
+        ``groupby("url").aggregate(Min, Min)`` is Ray's sort-based
+        aggregate over a high-cardinality STRING key: measured 32.4 s on a
+        3M-candidate wave where this shape takes 2.2 s — and unlike the
+        Min/Min aggregate it keeps the whole minimum-key ROW (host, depth
+        travel with their url), the exact rule the compact path applies."""
+        collapsed = (candidates
+                     .map_batches(_add_url_hash_bucket, batch_format="pyarrow")
+                     .groupby("_ub")
+                     .map_groups(_collapse_min_key, batch_format="pandas"))
         # SeenFilter instance -> task UDF (it only holds actor handles, so
         # there is no per-worker state worth an actor pool)
         fresh = collapsed.map_batches(SeenFilter(seen), batch_format="pyarrow",
@@ -906,15 +916,27 @@ class CrawlJob:
                                        default=str).encode()).hexdigest()
 
 
-def _rename_collapsed(batch: pa.Table) -> pa.Table:
-    """groupby output (url, min(key), min(depth)) -> frontier candidate cols."""
-    url = batch["url"]
-    key = batch["min(key)"]
-    depth = batch["min(depth)"]
-    host = pa.array([urlparse(u).netloc for u in url.to_pylist()])
-    return pa.Table.from_arrays(
-        [url.combine_chunks() if isinstance(url, pa.ChunkedArray) else url,
-         host,
-         key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key,
-         depth.combine_chunks() if isinstance(depth, pa.ChunkedArray) else depth],
-        names=["url", "host", "key", "depth"])
+_FRONTIER_COLLAPSE_BUCKETS = 256
+
+
+def _add_url_hash_bucket(batch: pa.Table) -> pa.Table:
+    """int32 hash(url) % B for the collapse shuffle (pd.util.hash_array:
+    deterministic SipHash, vectorized, no PYTHONHASHSEED dependence)."""
+    import pandas as pd
+    if not len(batch):
+        return batch.append_column("_ub", pa.array([], pa.int32()))
+    h = pd.util.hash_array(np.asarray(batch["url"].to_pylist(), dtype=object))
+    return batch.append_column(
+        "_ub", pa.array((h % np.uint64(_FRONTIER_COLLAPSE_BUCKETS))
+                        .astype(np.int32)))
+
+
+def _collapse_min_key(group) -> pa.Table:
+    """Within-bucket collapse: one row per url, the minimum-key row (keys
+    are globally unique, so a stable key sort + first-per-url IS min(key)
+    per url — the compact path's rule). Returns pa.Table: pandas-object
+    blocks make every downstream sort/shuffle ~14x slower."""
+    g = group.sort_values("key", kind="mergesort") \
+             .drop_duplicates("url", keep="first").drop(columns=["_ub"])
+    return pa.Table.from_pandas(g, preserve_index=False) \
+                   .replace_schema_metadata(None)

@@ -285,7 +285,8 @@ def extract_and_sink_batch(batch: pa.Table, *, fetch_desc, robots_ref,
     os.makedirs(links_dir, exist_ok=True)
     pq.write_table(links_tbl, os.path.join(links_dir, part))
 
-    return explode_outlinks(full.select(["_outlinks", "depth"]))
+    return precollapse_candidates(
+        explode_outlinks(full.select(["_outlinks", "depth"])))
 
 
 def explode_links(batch: pa.Table) -> pa.Table:
@@ -304,6 +305,22 @@ def explode_links(batch: pa.Table) -> pa.Table:
     arrays += [ranks.combine_chunks() if isinstance(ranks, pa.ChunkedArray) else ranks,
                waves.combine_chunks() if isinstance(waves, pa.ChunkedArray) else waves]
     return pa.Table.from_arrays(arrays, schema=LINKS_SCHEMA)
+
+
+def precollapse_candidates(tbl: pa.Table) -> pa.Table:
+    """Within-task combiner for the frontier exchange: keep one candidate
+    row per url — the minimum-key row, the same rule the global collapse
+    applies (first discovery wins; the kept row carries ITS host/depth,
+    exactly like the compact path's sort+drop_duplicates). Hub/nav URLs
+    are linked from most pages of a batch, so this cuts the groupby(url)
+    shuffle volume several-fold before any row leaves the task."""
+    if tbl.num_rows < 2:
+        return tbl
+    df = tbl.to_pandas()
+    df = df.sort_values("key", kind="mergesort") \
+           .drop_duplicates("url", keep="first")
+    out = pa.Table.from_pandas(df, preserve_index=False)
+    return out.replace_schema_metadata(None).cast(tbl.schema)
 
 
 def explode_outlinks(batch: pa.Table) -> pa.Table:
