@@ -212,6 +212,29 @@ def test_offset_store_lookup_matches_broadcast(ray_session, tiny_corpus,
     assert got[-1] is None
 
 
+def test_offset_store_build_crash_safe_and_idempotent(ray_session,
+                                                      tiny_corpus, tmp_path):
+    """A crash mid-build leaves a .building dir without _OK; the next build
+    must discard it and produce a correct store, and a repeat call must
+    return the finished store without rebuilding (marker contract)."""
+    from seo_crawler_ray.sources.offset_store import (OffsetFetcher,
+                                                      build_offset_store)
+    out = str(tmp_path / "ofs_crash")
+    stale = os.path.join(out, "offsets=8.building")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "parts"), "w") as f:
+        f.write("garbage where a directory should be")
+
+    store = build_offset_store(tiny_corpus, out, 8)
+    assert os.path.exists(os.path.join(store, "_OK"))
+    got = OffsetFetcher(store, 8).lookup(["https://nowhere.example/miss"])
+    assert got == [None]
+
+    before = os.path.getmtime(os.path.join(store, "_OK"))
+    assert build_offset_store(tiny_corpus, out, 8) == store
+    assert os.path.getmtime(os.path.join(store, "_OK")) == before
+
+
 def test_bucketed_store_build_is_distributed(ray_session, tiny_corpus,
                                              tmp_path, monkeypatch):
     """The one-time bucket build must run as Ray Data pipelines (blocks
