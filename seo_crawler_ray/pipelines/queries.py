@@ -302,7 +302,12 @@ def _pages_meta_path(cdir: str) -> str:
     """One-time merged (url, html, status, content-type) parquet so the
     extract read carries its own response metadata columns — pages.parquet
     and meta.parquet are written in the same row order by the generator
-    (the same invariant crawl.load_corpus_table relies on)."""
+    (the same invariant crawl.load_corpus_table relies on).
+
+    Driver-side by design: this sidecar only exists for the query surface
+    over the sf test corpora (all under the 2 GB broadcast gate). The
+    crawl engine itself never builds it — at scale the fetch goes through
+    the distributed offset-store build (sources/offset_store.py)."""
     import pyarrow.parquet as pq
     path = os.path.join(cdir, "pages_meta_v2.parquet")
     if not os.path.exists(path):

@@ -165,6 +165,9 @@ def _jaccard_blobs(sa: bytes, sb: bytes) -> float:
 
 _GATHER_BUCKETS = 128
 _HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+# LSH band groups larger than this are star-expanded through their min-id
+# representative instead of full-clique paired (see _band_bucket_pairs)
+_BAND_GROUP_CAP = 4096
 
 
 def _bucket_of(ids: np.ndarray) -> np.ndarray:
@@ -184,6 +187,39 @@ def _tag_doc_blobs(batch: pa.Table) -> pa.Table:
                      "other": pa.array(np.full(n, -1, dtype=np.int64)),
                      "blob": batch["shingles"],
                      "kind": pa.array(np.ones(n, dtype=np.int8))})
+
+
+class _StoreVerify:
+    """Actor-pool exact-Jaccard verifier over a blob store
+    (``sources/offset_store.build_blob_store``): shingle blobs stay on
+    disk and each pair batch seek-reads only the blobs it touches, so the
+    verify exchange carries (id, id) rows and nothing payload-sized.
+    Bucket indexes are cached per actor in the fetcher."""
+
+    def __init__(self, store_dir: str, n_buckets: int, threshold: float):
+        from ..sources.offset_store import BlobFetcher
+        self.fetcher = BlobFetcher(store_dir, n_buckets)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pairs = pd.DataFrame(
+            {"a": batch["a"].to_numpy(zero_copy_only=False),
+             "b": batch["b"].to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()          # cross-band dupes: skip repeat lookups
+        blobs_a = self.fetcher.lookup(pairs["a"].tolist())
+        blobs_b = self.fetcher.lookup(pairs["b"].tolist())
+        out_a, out_b, out_j = [], [], []
+        for ai, bi, sa, sb in zip(pairs["a"], pairs["b"], blobs_a, blobs_b):
+            if sa is None or sb is None:
+                continue
+            j = _jaccard_blobs(sa, sb)
+            if j >= self.threshold:
+                out_a.append(int(ai))
+                out_b.append(int(bi))
+                out_j.append(round(j, 6))
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
 
 
 def _band_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -223,6 +259,20 @@ def _band_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
                     out_b.append(ids[s + 1:s + m].astype(np.int64))
                     out_k.append(np.ones(m - 1, dtype=np.int8))
         if len(reps) < 2:
+            continue
+        if len(reps) > _BAND_GROUP_CAP:
+            # hot-bucket guard: a full clique over an n-rep band group is
+            # O(n^2) pairs — a template-heavy web corpus can land 10^4-10^5
+            # near-identical pages in ONE band hash (observed: worker OOM
+            # at 600k docs). Star-expand through the min-id rep instead:
+            # O(n) pairs, same connected components after the exact-Jaccard
+            # verify (standard hot-bucket handling in production MinHash
+            # dedup); direct member-member pairs whose similarity to the
+            # rep is below threshold are the documented recall cost. The
+            # cap never triggers at test scale, keeping fixtures exact.
+            out_a.append(np.full(len(reps) - 1, reps[0], dtype=np.int64))
+            out_b.append(reps[1:].astype(np.int64))
+            out_k.append(np.zeros(len(reps) - 1, dtype=np.int8))
             continue
         ii, jj = np.triu_indices(len(reps), k=1)
         out_a.append(reps[ii])
@@ -318,6 +368,7 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
                       text_col: str = "text", id_col: str = "doc_id",
                       verify_mode: str = "auto",
                       broadcast_candidate_limit: int = 500_000,
+                      broadcast_blob_bytes_limit: int = 512 << 20,
                       expand_identical: bool = True):
     """MinHash+LSH candidate generation + exact word-shingle Jaccard verify.
     Text NEVER reaches the driver in any mode — only fixed-size shingle
@@ -331,11 +382,20 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
       the function's own return value), so pull the pairs, semi-join the
       sketch Dataset against the candidate-id set, broadcast those sketches
       and verify in parallel tasks. One exchange total.
-    - verify_mode='bucketed' (auto above the limit — the 100 TB path):
-      two co-shuffle gather stages (union of pair rows keyed by one side's
-      id-bucket with sketch rows keyed by doc-id-bucket, then
+    - verify_mode='store' (auto above either limit — the 100 TB path,
+      shared-storage clusters): the sketches are written ONCE to a blob
+      store (``sources/offset_store.build_blob_store`` — payload moves
+      disk->disk, only narrow (key, part, offset, length) index rows
+      shuffle), then an actor pool verifies pair batches by seek-reading
+      exactly the blobs each batch touches. Measured at 600k web docs the
+      blob exchanges this replaces moved >4 GB through two all-to-all
+      sorts; the store path shuffles only ints.
+    - verify_mode='bucketed' (explicit only — the no-shared-filesystem
+      fallback): two co-shuffle gather stages (union of pair rows keyed by
+      one side's id-bucket with sketch rows keyed by doc-id-bucket, then
       groupby(bucket) attaches that side's sketch), exact Jaccard inside
-      the second gather. Nothing larger than a bucket ever co-resides.
+      the second gather. Everything moves through the object store;
+      nothing larger than a bucket ever co-resides.
 
     Returns pairs (a, b, jaccard) with a < b and jaccard >= threshold.
 
@@ -362,8 +422,18 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
               .drop_columns(["kind"]).to_pandas())
     cand = cand_all.filter(expr="kind == 0").drop_columns(["kind"])
     if verify_mode == "auto":
-        verify_mode = ("broadcast" if cand.count() <= broadcast_candidate_limit
-                       else "bucketed")
+        # gate on BOTH pair count and estimated sketch bytes: blobs are
+        # full shingle sets, so web-page-sized docs (~7 KB/blob at 600k
+        # docs) make a "small" pair set driver-infeasible long before the
+        # count limit — observed as a multi-GB driver dict re-deserialized
+        # by every verify task
+        n_pairs = cand.count()
+        avg_blob = (sh_ds.size_bytes() / max(1, sh_ds.count()))
+        est_bytes = 2 * n_pairs * avg_blob     # upper bound: ids ≤ 2·pairs
+        verify_mode = ("broadcast"
+                       if n_pairs <= broadcast_candidate_limit
+                       and est_bytes <= broadcast_blob_bytes_limit
+                       else "store")
 
     if verify_mode == "broadcast":
         cand_pdf = cand.to_pandas().drop_duplicates()
@@ -384,7 +454,6 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
         for tbl in ray.get(sk_tbl):
             sketches.update(zip(tbl["doc_id"].to_pylist(),
                                 tbl["shingles"].to_pylist()))
-        sk_ref = ray.put(sketches)
 
         @ray.remote
         def verify(pairs: pd.DataFrame, sk: dict) -> pd.DataFrame:
@@ -393,12 +462,47 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
                     if (j := _jaccard_blobs(sk[int(a)], sk[int(b)])) >= threshold]
             return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
 
-        chunks = np.array_split(cand_pdf, max(1, len(cand_pdf) // 4000))
-        parts = ray.get([verify.remote(c, sk_ref) for c in chunks if len(c)])
+        # per-chunk sketch slices: each task deserializes only the blobs
+        # its pairs touch, not the whole candidate dict
+        chunks = np.array_split(cand_pdf.sort_values("a"),
+                                max(1, len(cand_pdf) // 4000))
+        futs = []
+        for c in chunks:
+            if not len(c):
+                continue
+            need = set(map(int, c["a"])) | set(map(int, c["b"]))
+            futs.append(verify.remote(c, {i: sketches[i] for i in need}))
+        parts = ray.get(futs)
         out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
             columns=["a", "b", "jaccard"])
         if out.empty:
             out = pd.DataFrame(_EMPTY_PAIRS)
+        return _expand_identical_pairs(out, mem_df, expand_identical)
+
+    if verify_mode == "store":
+        import shutil
+        import tempfile
+
+        from ..sources.offset_store import build_blob_store
+        if cand.count() == 0:
+            return _expand_identical_pairs(
+                pd.DataFrame(_EMPTY_PAIRS), mem_df, expand_identical)
+        store_dir = tempfile.mkdtemp(prefix="minhash_blob_store_")
+        try:
+            build_blob_store(sh_ds, "doc_id", "shingles", store_dir,
+                             n_buckets=_GATHER_BUCKETS)
+            out = cand.map_batches(
+                _StoreVerify, batch_format="pyarrow", batch_size=8192,
+                fn_constructor_kwargs={"store_dir": store_dir,
+                                       "n_buckets": _GATHER_BUCKETS,
+                                       "threshold": threshold},
+                concurrency=(1, 8)).to_pandas()
+        finally:
+            shutil.rmtree(store_dir, ignore_errors=True)
+        if out.empty:
+            out = pd.DataFrame(_EMPTY_PAIRS)
+        out = (out.drop_duplicates(subset=["a", "b"])
+               .sort_values(["a", "b"]).reset_index(drop=True))
         return _expand_identical_pairs(out, mem_df, expand_identical)
 
     def tag_pairs_on_a(batch: pa.Table) -> pa.Table:
@@ -427,9 +531,15 @@ def minhash_near_dups(docs_ds, threshold: float = 0.7,
                          "sh_a": pa.array([sketch[int(keys[i])]
                                            for i in pairs_i], pa.binary())})
 
+    # materialize between the two gather exchanges: fusing two
+    # union+groupby all-to-alls that share sh_ds into ONE execution plan
+    # spins the streaming-executor scheduling thread at 100% with an idle
+    # cluster (observed at 600k docs; same shape works fine as two
+    # single-exchange executions — the repo's multi-join DAG trap)
     stage1 = (cand.map_batches(tag_pairs_on_a, batch_format="pyarrow")
               .union(sh_ds.map_batches(_tag_doc_blobs, batch_format="pyarrow"))
-              .groupby("bucket").map_groups(gather_a, batch_format="pyarrow"))
+              .groupby("bucket").map_groups(gather_a, batch_format="pyarrow")
+              .materialize())
 
     def tag_pairs_on_b(batch: pa.Table) -> pa.Table:
         n = len(batch)

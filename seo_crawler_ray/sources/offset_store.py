@@ -160,6 +160,112 @@ def build_offset_store(corpus_dir: str, out_dir: str, n_buckets: int = 64) -> st
     return final
 
 
+def _int_bucket(ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic int64 key -> bucket (Fibonacci hashing)."""
+    with np.errstate(over="ignore"):
+        mixed = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((mixed >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def build_blob_store(ds, key_col: str, blob_col: str, out_dir: str,
+                     n_buckets: int = 64) -> str:
+    """Generic (int64 key -> binary payload) point-lookup store, the same
+    two-phase shape as :func:`build_offset_store`: phase 1 writes each
+    input block's blobs to a part file (payload disk->disk, never
+    shuffled) and emits narrow index rows; phase 2 shuffles ONLY the index
+    through one groupby(bucket) into per-bucket offset indexes. Built for
+    the MinHash verify stage, whose sketch gathers otherwise push the
+    whole corpus's shingle blobs through two all-to-all exchanges.
+
+    Not idempotent/atomic like the corpus stores — callers own ``out_dir``
+    lifetime (it is a per-run scratch dir, not a cache)."""
+    import ray.data
+
+    os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "idx"), exist_ok=True)
+
+    def write_part(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col].to_pylist(), dtype=np.int64)
+        # uuid, NOT a closure counter: Ray re-deserializes the transform fn
+        # per map task, so a counter restarts at 0 for every task and two
+        # tasks on the same worker pid would silently overwrite each other
+        import uuid
+        part_name = f"part-{uuid.uuid4().hex[:16]}"
+        buf = bytearray()
+        offs, lens = [], []
+        for b in batch[blob_col].to_pylist():
+            offs.append(len(buf))
+            lens.append(len(b))
+            buf += b
+        with open(os.path.join(out_dir, "parts", part_name + ".bin"),
+                  "wb") as f:
+            f.write(buf)
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "bucket": pa.array(_int_bucket(keys, n_buckets)),
+            "part": pa.array([part_name] * len(keys), pa.string()),
+            "offset": pa.array(offs, pa.int64()),
+            "length": pa.array(lens, pa.int64()),
+        })
+
+    def write_bucket_index(group: pa.Table) -> pa.Table:
+        b = group["bucket"][0].as_py()
+        pq.write_table(group.drop_columns(["bucket"]),
+                       os.path.join(out_dir, "idx",
+                                    f"bucket-{b:05d}.idx.parquet"))
+        return pa.table({"bucket": pa.array([b], pa.int32()),
+                         "n": pa.array([len(group)], pa.int64())})
+
+    (ds.map_batches(write_part, batch_format="pyarrow")
+       .groupby("bucket").map_groups(write_bucket_index,
+                                     batch_format="pyarrow")
+       .materialize())
+    return out_dir
+
+
+class BlobFetcher:
+    """Point lookups over a blob store: per-worker bucket-index cache,
+    seek-reads grouped by part file and ordered by offset."""
+
+    def __init__(self, store_dir: str, n_buckets: int):
+        self.store_dir = store_dir
+        self.n_buckets = n_buckets
+        self._idx_cache: dict[int, dict[int, tuple]] = {}
+
+    def _index(self, b: int) -> dict[int, tuple]:
+        idx = self._idx_cache.get(b)
+        if idx is None:
+            path = os.path.join(self.store_dir, "idx",
+                                f"bucket-{b:05d}.idx.parquet")
+            if not os.path.exists(path):
+                idx = {}
+            else:
+                t = pq.read_table(path)
+                idx = {k: (p, o, ln) for k, p, o, ln in zip(
+                    t["key"].to_pylist(), t["part"].to_pylist(),
+                    t["offset"].to_pylist(), t["length"].to_pylist())}
+            self._idx_cache[b] = idx
+        return idx
+
+    def lookup(self, keys: list[int]) -> list[bytes | None]:
+        buckets = _int_bucket(np.asarray(keys, dtype=np.int64),
+                              self.n_buckets)
+        out: list[bytes | None] = [None] * len(keys)
+        by_part: dict[str, list[tuple]] = {}
+        for i, (k, b) in enumerate(zip(keys, buckets)):
+            rec = self._index(int(b)).get(int(k))
+            if rec is not None:
+                by_part.setdefault(rec[0], []).append((rec[1], rec[2], i))
+        for part, hits in by_part.items():
+            hits.sort()
+            with open(os.path.join(self.store_dir, "parts",
+                                   part + ".bin"), "rb") as f:
+                for off, ln, i in hits:
+                    f.seek(off)
+                    out[i] = f.read(ln)
+        return out
+
+
 class OffsetFetcher:
     """Point-lookup fetcher over an offset store. Caches bucket indexes
     (small) per worker; every lookup reads only its records' byte ranges,

@@ -1,5 +1,7 @@
 """Training-data operators on planted fixtures: near-dup detectors must find
 planted duplicates and reject unrelated docs; ANN must match brute force."""
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -199,14 +201,47 @@ def test_minhash_no_driver_text_materialization(planted_docs, monkeypatch):
 
 
 def test_minhash_modes_identical(planted_docs):
-    """broadcast (candidate-sketch) and bucketed (co-shuffle) verify paths
-    must produce identical pairs — they share candidates and exact math."""
+    """broadcast (candidate-sketch), bucketed (co-shuffle) and store
+    (disk blob store + point-lookup) verify paths must produce identical
+    pairs — they share candidates and exact math."""
     from seo_crawler_ray.pipelines import textops
     a = textops.minhash_near_dups(planted_docs, threshold=0.6,
                                   verify_mode="broadcast")
     b = textops.minhash_near_dups(planted_docs, threshold=0.6,
                                   verify_mode="bucketed")
+    c = textops.minhash_near_dups(planted_docs, threshold=0.6,
+                                  verify_mode="store")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert a.reset_index(drop=True).equals(c.reset_index(drop=True))
+
+
+def test_blob_store_roundtrip(ray_session, tmp_path):
+    """build_blob_store + BlobFetcher: every key returns its exact blob,
+    misses return None, and part files never collide across tasks."""
+    import ray.data
+    from seo_crawler_ray.sources.offset_store import (
+        BlobFetcher, build_blob_store)
+    rng = np.random.default_rng(7)
+    n = 500
+    blobs = [rng.bytes(rng.integers(1, 400)) for _ in range(n)]
+    ds = ray.data.from_items(
+        [{"key": i, "blob": blobs[i]} for i in range(n)],
+        override_num_blocks=37)       # many tasks -> many part files
+    build_blob_store(ds, "key", "blob", str(tmp_path), n_buckets=16)
+    f = BlobFetcher(str(tmp_path), 16)
+    got = f.lookup(list(range(n)) + [n + 5, -3])
+    assert got[:n] == blobs
+    assert got[n:] == [None, None]
+    # total indexed bytes == total part-file bytes (no overwritten parts)
+    import pyarrow.parquet as _pq
+    idx_dir = os.path.join(str(tmp_path), "idx")
+    total_len = sum(
+        _pq.read_table(os.path.join(idx_dir, p))["length"].to_pandas().sum()
+        for p in os.listdir(idx_dir))
+    parts_dir = os.path.join(str(tmp_path), "parts")
+    disk = sum(os.path.getsize(os.path.join(parts_dir, p))
+               for p in os.listdir(parts_dir))
+    assert total_len == disk == sum(len(b) for b in blobs)
 
 
 def test_minhash_empty_candidates(ray_session):
