@@ -24,7 +24,8 @@ from seo_crawler_ray.pipelines import queries as _q
 
 # operators whose verification lives in tests/ (not SQL-expressible or
 # inherently nondeterministic wall-clock surfaces)
-_NO_ORACLE = {"minhash_near_dups", "simhash_near_dups",
+_NO_ORACLE = {"minhash_near_dups", "minhash_index_query",
+              "simhash_near_dups",
               "crawl_wave_metrics", "ann_topk_ivf", "ann_topk_lsh",
               "embedding_dup_pairs_lsh", "kmeans_clusters",
               "semantic_dedup", "quality_classifier",

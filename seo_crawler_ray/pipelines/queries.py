@@ -589,6 +589,32 @@ def q_minhash_near_dups(sf_dir: str):
     return textops.minhash_near_dups(_docs_ds(sf_dir), threshold=0.7)
 
 
+def q_minhash_index_query(sf_dir: str):
+    """Incremental near-dup: index the even-id half as 'history' (two
+    LSM generations), query the odd-id half as 'today's increment'.
+    Parity with the batch operator is pinned by
+    tests/test_minhash_index.py; rows-only check here (LSH isn't
+    SQL-expressible)."""
+    import shutil
+    import tempfile
+
+    from . import minhash_index as mhi
+
+    def part(mod: int, val: int):
+        def keep(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            return b.filter(pa.array(ids % mod == val))
+        return _docs_ds(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+    idx_dir = tempfile.mkdtemp(prefix="mh_index_q_")
+    try:
+        mhi.build_minhash_index(part(4, 0), idx_dir)   # gen 0: ids % 4 == 0
+        mhi.append_minhash_index(part(4, 2), idx_dir)  # gen 1: ids % 4 == 2
+        return mhi.query_minhash_index(part(2, 1), idx_dir, threshold=0.7)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
 def q_simhash_near_dups(sf_dir: str):
     return textops.simhash_near_dups(_docs_ds(sf_dir), max_hamming=3)
 
@@ -1357,6 +1383,7 @@ def queries() -> dict:
         # --- E: pytest-pinned, no SQL oracle (driver shows rows-only) —
         # dead last so they never displace a hash-graded query.
         "minhash_near_dups": q_minhash_near_dups,
+        "minhash_index_query": q_minhash_index_query,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_lsh": q_ann_topk_lsh,

@@ -171,3 +171,32 @@ def test_int_key_bucketed_attach_partition_invariant(ray_session):
     # unmatched keys (>=350) must survive as nulls, not vanish
     assert a[a["k"] >= 350]["name"].isna().all()
     assert len(a) == 900
+
+
+def test_minhash_index_partition_invariant(ray_session, docs_pdf,
+                                           tmp_path_factory):
+    """Incremental MinHash index: neither the history layout at build time
+    nor the increment layout at query time may change the result."""
+    import ray.data
+    from seo_crawler_ray.pipelines import minhash_index as mhi
+
+    pdf = docs_pdf.copy()
+    # plant a cross-half near-dup: 31 (odd -> increment) == 0 (even -> history)
+    pdf.loc[pdf["doc_id"] == 31, "text"] = pdf["text"].iloc[0]
+    hist = pdf[pdf["doc_id"] % 2 == 0]
+    newd = pdf[pdf["doc_id"] % 2 == 1]
+
+    def run(parts, seed):
+        d = str(tmp_path_factory.mktemp("mh_pi") / "idx")
+        mhi.build_minhash_index(
+            ray.data.from_pandas(hist.sample(frac=1, random_state=seed))
+            .repartition(parts), d)
+        got = mhi.query_minhash_index(
+            ray.data.from_pandas(newd.sample(frac=1, random_state=seed + 1))
+            .repartition(parts + 2), d, threshold=0.5)
+        return _sorted(got)
+
+    a = run(1, 3)
+    b = run(13, 9)
+    pd.testing.assert_frame_equal(a, b)
+    assert (31, 0) in set(zip(a["new"].astype(int), a["old"].astype(int)))
