@@ -87,22 +87,41 @@ def _generations(index_dir: str) -> list[str]:
         and os.path.exists(os.path.join(index_dir, d, "_OK")))
 
 
+def _write_band_bucket(group: pa.Table, out_dir: str) -> pa.Table:
+    """One compacted parquet file per band bucket (the
+    ``build_blob_store.write_bucket_index`` pattern): a query probe then
+    point-reads exactly one file per touched bucket, instead of a hive
+    directory of per-task fragments (measured: 200-fragment partitions
+    made cold probe reads the dominant query cost at 600k docs)."""
+    b = group["bucket"][0].as_py()
+    pq.write_table(group.drop_columns(["bucket"]),
+                   os.path.join(out_dir, f"bucket-{b:05d}.parquet"))
+    return pa.table({"bucket": pa.array([b], pa.int32()),
+                     "n": pa.array([len(group)], pa.int64())})
+
+
 def _write_generation(docs_ds, gen_dir_final: str, text_col: str,
                       id_col: str) -> dict:
     """One self-contained generation, built in a tmp dir and renamed into
     place (crash leaves no half-generation visible: ``_generations`` only
     lists dirs carrying the ``_OK`` marker, written last)."""
+    from functools import partial
+
     parent = os.path.dirname(gen_dir_final)
     os.makedirs(parent, exist_ok=True)
     tmp = os.path.join(parent, f".tmp-{uuid.uuid4().hex[:12]}")
     os.makedirs(tmp)
+    bands_dir = os.path.join(tmp, "bands")
+    os.makedirs(bands_dir)
 
     sh_ds = docs_ds.map_batches(
         shingle_blob_batch, batch_format="pyarrow",
         fn_kwargs={"text_col": text_col, "id_col": id_col}).materialize()
     (sh_ds.map_batches(_bands_with_bucket, batch_format="pyarrow")
-          .write_parquet(os.path.join(tmp, "bands"),
-                         partition_cols=["bucket"]))
+          .groupby("bucket")
+          .map_groups(partial(_write_band_bucket, out_dir=bands_dir),
+                      batch_format="pyarrow")
+          .materialize())
     build_blob_store(sh_ds, "doc_id", "shingles",
                      os.path.join(tmp, "blobs"), n_buckets=_BLOB_BUCKETS)
     meta = {"n_docs": sh_ds.count(), "band_buckets": _BAND_BUCKETS,
@@ -141,39 +160,64 @@ def append_minhash_index(docs_ds, index_dir: str, text_col: str = "text",
     return index_dir
 
 
-def _probe_bucket(group: pd.DataFrame, gen_dirs: tuple[str, ...]
-                  ) -> pd.DataFrame:
-    """One query band-partition vs the same partition of each generation:
-    pandas merge on (band, band_hash) -> (new, old) candidate pairs.
-    Reads only this bucket's parquet partition per generation — the
-    partition pruning that makes a small increment cheap against a huge
-    history."""
-    b = int(group["bucket"].iloc[0])
-    out = []
-    for gen in gen_dirs:
-        part = os.path.join(gen, "bands", f"bucket={b}")
-        if not os.path.isdir(part):
-            continue
-        idx = pq.read_table(
-            part, columns=["band", "band_hash", "doc_id"]).to_pandas()
-        if not len(idx):
-            continue
-        hit = group[["band", "band_hash", "doc_id"]].merge(
-            idx, on=["band", "band_hash"], suffixes=("_new", "_old"))
-        if not len(hit):
-            continue
-        if len(hit) > _GROUP_PAIR_CAP:
-            # hot-partition guard: keep one old doc per (band, band_hash,
-            # new doc) — star expansion, same "near-dup of history?" answer
-            hit = hit.sort_values("doc_id_old").drop_duplicates(
-                subset=["band", "band_hash", "doc_id_new"])
-        out.append(hit[["doc_id_new", "doc_id_old"]])
-    if not out:
-        return pd.DataFrame({"new": pd.Series([], dtype="int64"),
-                             "old": pd.Series([], dtype="int64")})
-    cand = pd.concat(out, ignore_index=True).drop_duplicates()
-    return pd.DataFrame({"new": cand["doc_id_new"].astype("int64"),
-                         "old": cand["doc_id_old"].astype("int64")})
+class _BucketProbe:
+    """Actor-pool probe: query band rows (bucket-sorted upstream, so each
+    actor sees a contiguous bucket range) are merged on (band, band_hash)
+    against the matching one-file-per-bucket index partition of every
+    generation. Partition tables are cached per actor under a small LRU —
+    with sorted input each partition is read ~once per query; memory is
+    bounded by LRU size x partition bytes, independent of history size."""
+
+    _LRU = 16
+
+    def __init__(self, gen_dirs: tuple[str, ...]):
+        from collections import OrderedDict
+        self.gen_dirs = gen_dirs
+        self.cache: "OrderedDict[tuple[str, int], pd.DataFrame]" = \
+            OrderedDict()
+
+    def _partition(self, gen: str, b: int) -> pd.DataFrame | None:
+        key = (gen, b)
+        hit = self.cache.get(key)
+        if hit is not None:
+            self.cache.move_to_end(key)
+            return hit
+        path = os.path.join(gen, "bands", f"bucket-{b:05d}.parquet")
+        if not os.path.exists(path):
+            part = None
+        else:
+            part = pq.read_table(
+                path, columns=["band", "band_hash", "doc_id"]).to_pandas()
+        self.cache[key] = part
+        if len(self.cache) > self._LRU:
+            self.cache.popitem(last=False)
+        return part
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b, group in batch.groupby("bucket", sort=False):
+            for gen in self.gen_dirs:
+                idx = self._partition(gen, int(b))
+                if idx is None or not len(idx):
+                    continue
+                hit = group[["band", "band_hash", "doc_id"]].merge(
+                    idx, on=["band", "band_hash"],
+                    suffixes=("_new", "_old"))
+                if not len(hit):
+                    continue
+                if len(hit) > _GROUP_PAIR_CAP:
+                    # hot-partition guard: keep one old doc per (band,
+                    # band_hash, new doc) — star expansion, same
+                    # "near-dup of history?" answer
+                    hit = hit.sort_values("doc_id_old").drop_duplicates(
+                        subset=["band", "band_hash", "doc_id_new"])
+                out.append(hit[["doc_id_new", "doc_id_old"]])
+        if not out:
+            return pd.DataFrame({"new": pd.Series([], dtype="int64"),
+                                 "old": pd.Series([], dtype="int64")})
+        cand = pd.concat(out, ignore_index=True).drop_duplicates()
+        return pd.DataFrame({"new": cand["doc_id_new"].astype("int64"),
+                             "old": cand["doc_id_old"].astype("int64")})
 
 
 class _IndexVerify:
@@ -207,7 +251,13 @@ class _IndexVerify:
             pending = still
         return out
 
+    _EMPTY = pa.table({"new": pa.array([], pa.int64()),
+                       "old": pa.array([], pa.int64()),
+                       "jaccard": pa.array([], pa.float64())})
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "new" not in batch.column_names or len(batch) == 0:
+            return self._EMPTY          # schemaless empty probe block
         pairs = pd.DataFrame(
             {"new": batch["new"].to_numpy(zero_copy_only=False),
              "old": batch["old"].to_numpy(zero_copy_only=False)}
@@ -252,9 +302,10 @@ def query_minhash_index(new_docs_ds, index_dir: str,
         shingle_blob_batch, batch_format="pyarrow",
         fn_kwargs={"text_col": text_col, "id_col": id_col}).materialize()
     cand = (sh_new.map_batches(_bands_with_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(_probe_bucket, batch_format="pandas",
-                        fn_kwargs={"gen_dirs": gen_dirs}))
+            .sort("bucket")      # narrow rows; aligns actors to buckets
+            .map_batches(_BucketProbe, batch_format="pandas",
+                         batch_size=16384, concurrency=(1, 8),
+                         fn_constructor_kwargs={"gen_dirs": gen_dirs}))
     cand = cand.materialize()
     if cand.count() == 0:
         return pd.DataFrame(_EMPTY_RESULT)
@@ -262,7 +313,9 @@ def query_minhash_index(new_docs_ds, index_dir: str,
     # new-side sketches for verification: only ids that have candidates
     need = set()
     for ref in cand.to_arrow_refs():
-        need.update(ray.get(ref)["new"].to_pylist())
+        t = ray.get(ref)
+        if "new" in t.column_names:          # skip schemaless empty blocks
+            need.update(t["new"].to_pylist())
 
     def keep_needed(batch: pa.Table) -> pa.Table:
         mask = [i in need for i in batch["doc_id"].to_pylist()]
