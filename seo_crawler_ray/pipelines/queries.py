@@ -802,6 +802,13 @@ def q_cross_split_leakage(sf_dir: str):
     return textops.cross_split_leakage(_docs_ds(sf_dir), n=3)
 
 
+def q_dup_ngram_spans(sf_dir: str):
+    """Exact-substring duplication (Lee et al. 2021 ExactSubstr): per-doc
+    duplicated k-gram positions + merged spans, one bucketed hash
+    shuffle, nothing broadcast."""
+    return textops.dup_ngram_spans(_docs_ds(sf_dir), k=6)
+
+
 def q_validate_documents(sf_dir: str):
     """Data-quality gate: per-check violation counts over the documents
     table (nulls, length mismatches, duplicate ids)."""
@@ -1298,6 +1305,7 @@ def queries() -> dict:
         "recrawl_diff": q_recrawl_diff,
         "url_templates": q_url_templates,
         "host_stats": q_host_stats,
+        "dup_ngram_spans": q_dup_ngram_spans,   # new in round 4
         # --- B: crawl engine + extraction + exports (refresh r01 rows)
         "crawl_pages": q_crawl_pages,
         "crawl_order": q_crawl_order,
@@ -1964,6 +1972,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "decontaminate": textops.decontaminate_ngrams_sql(_DECON_PROBES,
                                                           n=3),
         "cross_split_leakage": textops.cross_split_leakage_sql(n=3),
+        "dup_ngram_spans": textops.dup_ngram_spans_sql(k=6),
         "winnow_dup_pairs": textops.winnow_dup_pairs_sql(min_shared=5),
         "top_terms_by_source": textops.top_terms_by_sql("source", k=3),
         "redact_pii": textops.redact_pii_sql(),

@@ -2148,6 +2148,166 @@ def cross_split_leakage_sql(n: int = 3, val_permille: int = 50,
     FROM s LEFT JOIN h USING (doc_id) WHERE s.split = 'train'"""
 
 
+# ---------------------------------------- exact-substring duplication ----
+def dup_ngram_spans(docs_ds, k: int = 6, n_buckets: int = 64,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Exact-substring duplication detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the ExactSubstr operation, re-expressed as one
+    distributed hash shuffle instead of a corpus-wide suffix array).
+
+    Per document: how many of its word k-gram POSITIONS are duplicated
+    anywhere in the corpus (total occurrence count > 1, within-document
+    repeats included), and the merged overlapping spans they form
+    (positions p < q share a span iff q - p < k; a span's token
+    coverage is last - first + k).
+
+    Dataflow (single all-to-all, nothing broadcast, no driver pull):
+    - one pass emits (gram_bucket, gram_md5, doc_id, pos) per k-gram
+      position — a 16-byte hash travels the shuffle, never gram text;
+    - ``groupby(bucket)`` (n_buckets groups, never one task per gram)
+      counts occurrences per hash locally — bucket = f(hash), so the
+      within-bucket count IS the global count — and re-emits only the
+      duplicated positions;
+    - duplicated positions return to their documents through an int
+      id-bucket groupby (high-cardinality key groupby is a sort-based
+      aggregate in Ray 2.49 — the bucketed form is ~15x faster) where
+      span merging is fully vectorized (numpy diff over doc-change
+      boundaries);
+    - a zero base row per document + groupby(doc_id).sum closes the
+      left-join semantics, so undupped docs still appear.
+
+    At 100 TB: shuffle volume = one (16-byte hash + two int64) row per
+    corpus token — the cost any exact-substring method pays (a suffix
+    array is also O(total tokens)); per-bucket state = 1/n_buckets of
+    the distinct grams. Output: doc_id, n_grams, dup_grams, dup_spans,
+    dup_tokens (all int64, SQL-value-exact).
+    """
+    from ray.data.aggregate import Sum
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        out_b, out_h, out_id, out_pos = [], [], [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            w = LOWER_WORD_RE.findall(t.lower())
+            for i in range(len(w) - k + 1):
+                gh = hashlib.md5(" ".join(w[i:i + k]).encode()).digest()
+                out_b.append(int.from_bytes(gh[:2], "big") % n_buckets)
+                out_h.append(gh)
+                out_id.append(did)
+                out_pos.append(i)
+        return pa.table({"bucket": pa.array(out_b, pa.int64()),
+                         "gh": pa.array(out_h, pa.binary(16)),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "pos": pa.array(out_pos, pa.int64())})
+
+    def bucket_dup_positions(g: pd.DataFrame) -> pa.Table:
+        # occurrences per gram hash within the bucket == global count
+        sizes = g.groupby("gh", sort=False)["gh"].transform("size")
+        d = g[sizes.to_numpy() > 1]
+        ids = d[id_col].to_numpy(np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "pos": pa.array(d["pos"].to_numpy(np.int64)),
+            "id_bucket": pa.array((ids * 0x9E3779B9) % n_buckets)})
+
+    def merge_spans(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            z = pa.array([], pa.int64())
+            return pa.table({id_col: z, "n_grams": z, "dup_grams": z,
+                             "dup_spans": z, "dup_tokens": z})
+        g = g.sort_values([id_col, "pos"])
+        ids = g[id_col].to_numpy(np.int64)
+        pos = g["pos"].to_numpy(np.int64)
+        new_span = np.empty(len(ids), bool)
+        new_span[0] = True
+        new_span[1:] = (ids[1:] != ids[:-1]) | (pos[1:] - pos[:-1] >= k)
+        starts = np.flatnonzero(new_span)
+        ends = np.r_[starts[1:], len(ids)] - 1
+        spans = pd.DataFrame({
+            id_col: ids[starts],
+            "tok": pos[ends] - pos[starts] + k})
+        per_doc = spans.groupby(id_col, sort=False)["tok"] \
+                       .agg(dup_spans="size", dup_tokens="sum")
+        dg = pd.Series(ids).groupby(ids, sort=False).size()
+        per_doc["dup_grams"] = dg
+        out = per_doc.reset_index()
+        n = len(out)
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy(np.int64)),
+            "n_grams": pa.array(np.zeros(n, np.int64)),
+            "dup_grams": pa.array(out["dup_grams"].to_numpy(np.int64)),
+            "dup_spans": pa.array(out["dup_spans"].to_numpy(np.int64)),
+            "dup_tokens": pa.array(out["dup_tokens"].to_numpy(np.int64))})
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        ids, ngr = [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            ids.append(did)
+            ngr.append(max(len(LOWER_WORD_RE.findall(t.lower())) - k + 1, 0))
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(ngr, pa.int64()),
+                         "dup_grams": pa.array(z), "dup_spans": pa.array(z),
+                         "dup_tokens": pa.array(z)})
+
+    grams = docs_ds.select_columns([id_col, text_col]) \
+        .map_batches(gram_rows, batch_format="pyarrow")
+    dups = grams.groupby("bucket").map_groups(bucket_dup_positions,
+                                              batch_format="pandas")
+    span_agg = dups.groupby("id_bucket").map_groups(merge_spans,
+                                                    batch_format="pandas")
+    base = docs_ds.select_columns([id_col, text_col]) \
+        .map_batches(base_rows, batch_format="pyarrow")
+    return (base.union(span_agg)
+            .groupby(id_col)
+            .aggregate(Sum("n_grams", alias_name="n_grams"),
+                       Sum("dup_grams", alias_name="dup_grams"),
+                       Sum("dup_spans", alias_name="dup_spans"),
+                       Sum("dup_tokens", alias_name="dup_tokens")))
+
+
+def dup_ngram_spans_sql(k: int = 6) -> str:
+    """ANSI-SQL oracle for dup_ngram_spans. Span merging is the classic
+    gaps-and-islands: a duplicated position starts a new span iff its
+    gap to the previous duplicated position in the same doc is >= k
+    (lag NULL on the first row falls through to 'new span')."""
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+               FROM documents),
+    g AS (SELECT doc_id, i AS pos,
+                 array_to_string(list_slice(w, i, i + {k - 1}), ' ') AS gram
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - {k - 2})) AS i
+                FROM t)),
+    c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+    d AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+    sp AS (SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER
+                           (PARTITION BY doc_id ORDER BY pos) < {k}
+                       THEN 0 ELSE 1 END AS new_span
+           FROM d),
+    sp2 AS (SELECT doc_id, pos,
+                   sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS span_id
+            FROM sp),
+    spans AS (SELECT doc_id, span_id, min(pos) AS p0, max(pos) AS p1
+              FROM sp2 GROUP BY doc_id, span_id),
+    sa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+                  CAST(sum(p1 - p0 + {k}) AS BIGINT) AS dup_tokens
+           FROM spans GROUP BY doc_id),
+    dg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_grams
+           FROM d GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(greatest(len(t.w) - {k - 1}, 0) AS BIGINT) AS n_grams,
+           COALESCE(dg.dup_grams, 0) AS dup_grams,
+           COALESCE(sa.dup_spans, 0) AS dup_spans,
+           COALESCE(sa.dup_tokens, 0) AS dup_tokens
+    FROM t LEFT JOIN dg USING (doc_id) LEFT JOIN sa USING (doc_id)
+    ORDER BY doc_id"""
+
+
 # ------------------------------------------- winnowing dup candidates ----
 def winnow_dup_pairs(docs_ds, min_shared: int = 5, k: int = 8, w: int = 16,
                      n_buckets: int = 64, group_cap: int = 10_000,

@@ -65,6 +65,9 @@ DOC_OPS = {
     "cross_split_leakage": lambda ds: __import__(
         "seo_crawler_ray.pipelines.textops", fromlist=["x"]
     ).cross_split_leakage(ds, n=3),
+    "dup_ngram_spans": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.textops", fromlist=["x"]
+    ).dup_ngram_spans(ds, k=4),
     "winnow_dup_pairs": lambda ds: __import__(
         "seo_crawler_ray.pipelines.textops", fromlist=["x"]
     ).winnow_dup_pairs(ds, min_shared=3),

@@ -1252,3 +1252,46 @@ def test_bpe_encode_counts(ray_session):
                  out["bpe_tokens"].to_pylist()))
     assert m[0] == 4            # n e w est</w>
     assert m[1] == 4 + 6        # l o w </w>  +  l o w e r </w>
+
+
+def test_dup_ngram_spans_hand_computed(ray_session):
+    """Exact-substring duplication on a hand-computed fixture (k=3):
+    cross-doc shared phrases, a within-doc repeat (counts toward the
+    >1 total), span merging (gap < k) vs separate spans (gap >= k)."""
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import dup_ngram_spans
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c d e f g",          # grams at pos 0,1 duplicated
+                 "x a b c d y z",          # grams at pos 1,2 duplicated
+                 "p q r s t u v",          # unique
+                 "a b c q q a b c"],       # 'a b c' at pos 0 and 5
+    })
+    got = dup_ngram_spans(ray.data.from_pandas(docs), k=3) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # doc 0: 5 grams; dup positions {0,1} -> one span covering 4 tokens
+    assert got.loc[0].tolist() == [5, 2, 1, 4]
+    # doc 1: dup positions {1,2} -> one span of 4
+    assert got.loc[1].tolist() == [5, 2, 1, 4]
+    # doc 2: nothing duplicated
+    assert got.loc[2].tolist() == [5, 0, 0, 0]
+    # doc 3: 6 grams; dup positions {0,5}, gap 5 >= k -> two spans of 3
+    assert got.loc[3].tolist() == [6, 2, 2, 6]
+
+
+def test_dup_ngram_spans_overlap_merge(ray_session):
+    """Positions 0 and 2 with k=3 overlap (gap 2 < k): one merged span
+    covering pos 0..4 = 5 tokens."""
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import dup_ngram_spans
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b c d e f",        # 'a b c' pos0, 'c d e' pos2 dup'd
+                 "a b c x c d e",      # sources of the duplicates
+                 "zz yy xx ww vv"],
+    })
+    got = dup_ngram_spans(ray.data.from_pandas(docs), k=3) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[0, "dup_grams"] == 2
+    assert got.loc[0, "dup_spans"] == 1
+    assert got.loc[0, "dup_tokens"] == 5
