@@ -809,6 +809,17 @@ def q_dup_ngram_spans(sf_dir: str):
     return textops.dup_ngram_spans(_docs_ds(sf_dir), k=6)
 
 
+_DSIR_TARGETS = ("src0", "src1", "src2")
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram LM
+    log-ratio of a target source mix vs the raw corpus, B-sized
+    feature reduce + broadcast int log-ratio table."""
+    return textops.dsir_weights(_docs_ds(sf_dir),
+                                target_sources=_DSIR_TARGETS)
+
+
 def q_validate_documents(sf_dir: str):
     """Data-quality gate: per-check violation counts over the documents
     table (nulls, length mismatches, duplicate ids)."""
@@ -1306,6 +1317,7 @@ def queries() -> dict:
         "url_templates": q_url_templates,
         "host_stats": q_host_stats,
         "dup_ngram_spans": q_dup_ngram_spans,   # new in round 4
+        "dsir_weights": q_dsir_weights,         # new in round 4
         # --- B: crawl engine + extraction + exports (refresh r01 rows)
         "crawl_pages": q_crawl_pages,
         "crawl_order": q_crawl_order,
@@ -1973,6 +1985,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                                                           n=3),
         "cross_split_leakage": textops.cross_split_leakage_sql(n=3),
         "dup_ngram_spans": textops.dup_ngram_spans_sql(k=6),
+        "dsir_weights": textops.dsir_weights_sql(_DSIR_TARGETS),
         "winnow_dup_pairs": textops.winnow_dup_pairs_sql(min_shared=5),
         "top_terms_by_source": textops.top_terms_by_sql("source", k=3),
         "redact_pii": textops.redact_pii_sql(),

@@ -2308,6 +2308,141 @@ def dup_ngram_spans_sql(k: int = 6) -> str:
     ORDER BY doc_id"""
 
 
+# --------------------------------------- DSIR importance weighting -------
+def _feature_bucket_of(terms: np.ndarray, n_features: int) -> np.ndarray:
+    return np.array([int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                     % n_features for t in terms], dtype=np.int64)
+
+
+def dsir_weights(docs_ds, target_sources: tuple[str, ...],
+                 n_features: int = 1024,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 source_col: str = "source"):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw document by how target-like its hashed n-gram
+    feature distribution is, log w(x) = sum_f [log p_target(f) -
+    log p_raw(f)], for downstream importance resampling of a
+    target-matched training subset.
+
+    Deterministic, SQL-value-exact variant: features are word unigrams
+    hashed into ``n_features`` buckets (md5-hex mod B — reproducible in
+    ANSI SQL, unlike the paper's Python ``hash``); both feature LMs are
+    Laplace-smoothed bucket counts, target = docs whose source is in
+    ``target_sources``, raw = the full corpus; and the per-feature log
+    ratio is integerized with the same two-floor contract lm_surprisal
+    pins (floor(1e6*ln((c_p+1)/(pt+B))) - floor(1e6*ln((c_q+1)/(qt+B))),
+    scalar libm log on both sides), so per-doc weights sum in int64
+    with no float accumulation.
+
+    Scale shape: pass 1 is a B-sized per-batch combiner + groupby(bucket)
+    sum — the reduce is n_features rows no matter the corpus size (the
+    whole point of DSIR's hashing); the driver computes B per-bucket
+    log-ratios and broadcasts one int64[B] array via ``ray.put``; pass 2
+    is a pure vectorized map (unique-token md5, array gather, segmented
+    sum). Zero-token docs drop, matching the SQL token-join semantics.
+    """
+    import math
+    import ray
+    from ray.data.aggregate import Sum
+
+    tgt = set(target_sources)
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        q = np.zeros(n_features, np.int64)
+        p = np.zeros(n_features, np.int64)
+        for src, t in zip(batch[source_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            toks = LOWER_WORD_RE.findall(t.lower())
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.array(toks, object),
+                                     return_counts=True)
+            bk = _feature_bucket_of(uniq, n_features)
+            np.add.at(q, bk, counts)
+            if src in tgt:
+                np.add.at(p, bk, counts)
+        nz = np.flatnonzero(q)
+        return pa.table({"bucket": pa.array(nz),
+                         "n_raw": pa.array(q[nz]),
+                         "n_target": pa.array(p[nz])})
+
+    agg = (docs_ds.select_columns([source_col, text_col])
+           .map_batches(bucket_counts, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("n_raw", alias_name="n_raw"),
+                      Sum("n_target", alias_name="n_target"))
+           .to_pandas())                              # <= n_features rows
+    w = np.zeros(n_features, np.int64)
+    if len(agg):
+        qt = int(agg["n_raw"].sum())
+        pt = int(agg["n_target"].sum())
+        for b, cq, cp in zip(agg["bucket"], agg["n_raw"], agg["n_target"]):
+            w[int(b)] = (math.floor(1e6 * math.log(
+                             (int(cp) + 1.0) / (pt + n_features)))
+                         - math.floor(1e6 * math.log(
+                             (int(cq) + 1.0) / (qt + n_features))))
+    w_ref = ray.put(w)
+
+    class _Scorer:
+        def __init__(self, ref):
+            self.w = ray_get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import itertools
+            ids = batch[id_col].to_pylist()
+            toklists = [LOWER_WORD_RE.findall(t.lower())
+                        for t in batch[text_col].to_pylist()]
+            lens = np.fromiter((len(t) for t in toklists),
+                               dtype=np.int64, count=len(toklists))
+            flat = np.array(list(itertools.chain.from_iterable(toklists)),
+                            dtype=object)
+            if len(flat):
+                uniq, inv = np.unique(flat, return_inverse=True)
+                vals = self.w[_feature_bucket_of(uniq, n_features)][inv]
+            else:
+                vals = np.empty(0, np.int64)
+            c = np.concatenate([[0], np.cumsum(vals)])
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            sums = c[offs[1:]] - c[offs[:-1]]
+            keep = lens > 0
+            return pa.table({
+                id_col: pa.array(np.asarray(ids, np.int64)[keep]),
+                "n_tokens": pa.array(lens[keep]),
+                "logweight": pa.array(sums[keep])})
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        _Scorer, batch_format="pyarrow",
+        fn_constructor_kwargs={"ref": w_ref}, concurrency=(1, 8))
+
+
+def dsir_weights_sql(target_sources: tuple[str, ...],
+                     n_features: int = 1024) -> str:
+    targets = ", ".join(f"'{s}'" for s in target_sources)
+    return f"""
+    WITH tok AS (SELECT doc_id, source,
+                        unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                            AS term
+                 FROM documents),
+    b AS (SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(term), 1, 8)) AS UBIGINT)
+                     % {n_features} AS bucket
+          FROM tok),
+    qc AS (SELECT bucket, count(*) AS cq,
+                  count(*) FILTER (WHERE source IN ({targets})) AS cp
+           FROM b GROUP BY bucket),
+    tot AS (SELECT sum(cq) AS qt, sum(cp) AS pt FROM qc),
+    s AS (SELECT bucket,
+                 CAST(floor(1000000 * ln((cp + 1.0) / (pt + {n_features})))
+                      AS BIGINT)
+               - CAST(floor(1000000 * ln((cq + 1.0) / (qt + {n_features})))
+                      AS BIGINT) AS w
+          FROM qc, tot)
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(s.w) AS BIGINT) AS logweight
+    FROM b JOIN s USING (bucket) GROUP BY b.doc_id"""
+
+
 # ------------------------------------------- winnowing dup candidates ----
 def winnow_dup_pairs(docs_ds, min_shared: int = 5, k: int = 8, w: int = 16,
                      n_buckets: int = 64, group_cap: int = 10_000,

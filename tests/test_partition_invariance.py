@@ -68,6 +68,9 @@ DOC_OPS = {
     "dup_ngram_spans": lambda ds: __import__(
         "seo_crawler_ray.pipelines.textops", fromlist=["x"]
     ).dup_ngram_spans(ds, k=4),
+    "dsir_weights": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.textops", fromlist=["x"]
+    ).dsir_weights(ds, target_sources=("s0",), n_features=64),
     "winnow_dup_pairs": lambda ds: __import__(
         "seo_crawler_ray.pipelines.textops", fromlist=["x"]
     ).winnow_dup_pairs(ds, min_shared=3),

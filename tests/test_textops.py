@@ -1295,3 +1295,49 @@ def test_dup_ngram_spans_overlap_merge(ray_session):
     assert got.loc[0, "dup_grams"] == 2
     assert got.loc[0, "dup_spans"] == 1
     assert got.loc[0, "dup_tokens"] == 5
+
+
+def test_dsir_weights_directionality(ray_session):
+    """Docs made of target-vocabulary tokens must score higher than docs
+    of off-target tokens, and the per-feature log-ratio table must match
+    a numpy reference computed from the same Laplace-smoothed counts."""
+    import math
+
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import (_feature_bucket_of,
+                                                   dsir_weights)
+    rng = np.random.RandomState(11)
+    tvoc = [f"t{i}" for i in range(20)]      # target-only vocabulary
+    rvoc = [f"r{i}" for i in range(20)]      # raw-only vocabulary
+    docs = []
+    for i in range(30):                      # target split: pure tvoc
+        docs.append(("tgt", " ".join(rng.choice(tvoc, 40))))
+    for i in range(30):                      # raw-only split: pure rvoc
+        docs.append(("other", " ".join(rng.choice(rvoc, 40))))
+    df = pd.DataFrame({"doc_id": range(60),
+                       "text": [t for _, t in docs],
+                       "source": [s for s, _ in docs]})
+    B = 64
+    got = dsir_weights(ray.data.from_pandas(df), target_sources=("tgt",),
+                       n_features=B).to_pandas().set_index("doc_id")
+    tgt_scores = got.loc[:29, "logweight"]
+    raw_scores = got.loc[30:, "logweight"]
+    assert tgt_scores.min() > raw_scores.max()
+
+    # numpy reference for one document's weight
+    toks = df.loc[0, "text"].split()
+    q = np.zeros(B, np.int64)
+    p = np.zeros(B, np.int64)
+    for _, row in df.iterrows():
+        tk = np.array(row["text"].split(), object)
+        bk = _feature_bucket_of(tk, B)
+        np.add.at(q, bk, 1)
+        if row["source"] == "tgt":
+            np.add.at(p, bk, 1)
+    qt, pt = int(q.sum()), int(p.sum())
+    expect = sum(
+        math.floor(1e6 * math.log((p[b] + 1.0) / (pt + B)))
+        - math.floor(1e6 * math.log((q[b] + 1.0) / (qt + B)))
+        for b in _feature_bucket_of(np.array(toks, object), B))
+    assert got.loc[0, "logweight"] == expect
+    assert got.loc[0, "n_tokens"] == len(toks)
