@@ -2149,6 +2149,29 @@ def cross_split_leakage_sql(n: int = 3, val_permille: int = 50,
 
 
 # ---------------------------------------- exact-substring duplication ----
+_TOKEN_H1: dict = {}   # token -> u64 (md5 low half),  per worker process
+_TOKEN_H2: dict = {}   # token -> u64 (md5 high half), per worker process
+
+# [a-z0-9] membership over ASCII bytes (uppercase included: equivalent to
+# matching LOWER_WORD_RE on text.lower() without allocating the copy)
+_LOWER_WORD_MASK = np.zeros(256, dtype=bool)
+_LOWER_WORD_MASK[ord("0"):ord("9") + 1] = True
+_LOWER_WORD_MASK[ord("a"):ord("z") + 1] = True
+_LOWER_WORD_MASK[ord("A"):ord("Z") + 1] = True
+
+
+def _count_lower_words(text: str) -> int:
+    """len(LOWER_WORD_RE.findall(text.lower())) without materializing the
+    word list: maximal [a-z0-9]-run count as 0->1 mask transitions (ASCII
+    fast path; non-ASCII falls back to the regex)."""
+    if not text.isascii():
+        return len(LOWER_WORD_RE.findall(text.lower()))
+    arr = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+    if arr.size == 0:
+        return 0
+    mask = _LOWER_WORD_MASK[arr]
+    return int(mask[0]) + int(np.count_nonzero(mask[1:] & ~mask[:-1]))
+
 def dup_ngram_spans(docs_ds, k: int = 6, n_buckets: int = 64,
                     id_col: str = "doc_id", text_col: str = "text"):
     """Exact-substring duplication detection (Lee et al. 2021,
@@ -2182,28 +2205,78 @@ def dup_ngram_spans(docs_ds, k: int = 6, n_buckets: int = 64,
     array is also O(total tokens)); per-bucket state = 1/n_buckets of
     the distinct grams. Output: doc_id, n_grams, dup_grams, dup_spans,
     dup_tokens (all int64, SQL-value-exact).
+
+    Gram hashing is fully vectorized: each DISTINCT token gets a
+    128-bit md5 id (computed once per batch over np.unique — the
+    per-token md5 loop would dominate at 10^9 tokens), and a gram's
+    hash is the positional polynomial sum_j t[i+j] * A^j in two
+    independent uint64 lanes (k shifted vector ops per doc). Equal
+    grams hash equal by construction; a cross-lane collision between
+    the ~n_tokens distinct grams is ~n^2 / 2^129 (immaterial at 10^10).
     """
     from ray.data.aggregate import Sum
 
+    p1 = (np.uint64(0x9E3779B97F4A7C15)
+          ** np.arange(k, dtype=np.uint64))        # wrapping powers
+    p2 = np.uint64(0xC2B2AE3D27D4EB4F) ** np.arange(k, dtype=np.uint64)
+
     def gram_rows(batch: pa.Table) -> pa.Table:
-        out_b, out_h, out_id, out_pos = [], [], [], []
-        for did, t in zip(batch[id_col].to_pylist(),
-                          batch[text_col].to_pylist()):
-            w = LOWER_WORD_RE.findall(t.lower())
-            for i in range(len(w) - k + 1):
-                gh = hashlib.md5(" ".join(w[i:i + k]).encode()).digest()
-                out_b.append(int.from_bytes(gh[:2], "big") % n_buckets)
-                out_h.append(gh)
-                out_id.append(did)
-                out_pos.append(i)
-        return pa.table({"bucket": pa.array(out_b, pa.int64()),
-                         "gh": pa.array(out_h, pa.binary(16)),
-                         id_col: pa.array(out_id, pa.int64()),
-                         "pos": pa.array(out_pos, pa.int64())})
+        import itertools
+        ids = batch[id_col].to_pylist()
+        toklists = [LOWER_WORD_RE.findall(t.lower())
+                    for t in batch[text_col].to_pylist()]
+        lens = np.fromiter((len(t) for t in toklists),
+                           dtype=np.int64, count=len(toklists))
+        flat = list(itertools.chain.from_iterable(toklists))
+        total = len(flat)
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "g1": pa.array([], pa.uint64()),
+                          "g2": pa.array([], pa.uint64()),
+                          id_col: pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if total < k:
+            return empty
+        # per-token 128-bit ids via per-process memos (Zipf-bounded
+        # vocabulary: ~every token is a dict hit — no sort, no re-md5);
+        # one miss-filling pass, then two np.fromiter gathers (an
+        # elementwise numpy-scalar assignment loop is ~4x slower)
+        c1, c2 = _TOKEN_H1, _TOKEN_H2
+        if len(c1) > 4_000_000:      # pathological vocab: reset, stay
+            c1.clear()               # correct (entries are recomputable)
+            c2.clear()
+        for t in flat:
+            if t not in c1:
+                d = hashlib.md5(t.encode()).digest()
+                c1[t] = int.from_bytes(d[:8], "little")
+                c2[t] = int.from_bytes(d[8:], "little")
+        t1 = np.fromiter((c1[t] for t in flat), np.uint64, total)
+        t2 = np.fromiter((c2[t] for t in flat), np.uint64, total)
+        # polynomial gram hash over the FLAT token stream (2k vector ops
+        # per batch), then mask out windows that cross a doc boundary
+        L = total - k + 1
+        g1 = np.zeros(L, np.uint64)
+        g2 = np.zeros(L, np.uint64)
+        for j in range(k):
+            g1 += t1[j:j + L] * p1[j]
+            g2 += t2[j:j + L] * p2[j]
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        sel = np.flatnonzero(doc_idx[:L] == doc_idx[k - 1:])
+        if not len(sel):
+            return empty
+        d_sel = doc_idx[sel]
+        g1 = g1[sel]
+        return pa.table({
+            "bucket": pa.array((g1 % np.uint64(n_buckets))
+                               .astype(np.int64)),
+            "g1": pa.array(g1),
+            "g2": pa.array(g2[sel]),
+            id_col: pa.array(np.asarray(ids, np.int64)[d_sel]),
+            "pos": pa.array(sel - offs[d_sel])})
 
     def bucket_dup_positions(g: pd.DataFrame) -> pa.Table:
         # occurrences per gram hash within the bucket == global count
-        sizes = g.groupby("gh", sort=False)["gh"].transform("size")
+        sizes = g.groupby(["g1", "g2"], sort=False)["g1"].transform("size")
         d = g[sizes.to_numpy() > 1]
         ids = d[id_col].to_numpy(np.int64)
         return pa.table({
@@ -2245,7 +2318,7 @@ def dup_ngram_spans(docs_ds, k: int = 6, n_buckets: int = 64,
         for did, t in zip(batch[id_col].to_pylist(),
                           batch[text_col].to_pylist()):
             ids.append(did)
-            ngr.append(max(len(LOWER_WORD_RE.findall(t.lower())) - k + 1, 0))
+            ngr.append(max(_count_lower_words(t) - k + 1, 0))
         z = np.zeros(len(ids), np.int64)
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "n_grams": pa.array(ngr, pa.int64()),
@@ -2309,9 +2382,25 @@ def dup_ngram_spans_sql(k: int = 6) -> str:
 
 
 # --------------------------------------- DSIR importance weighting -------
+_FEATURE_BUCKET_CACHE: dict = {}   # (n_features, token) -> bucket, per
+                                   # worker process: the corpus vocabulary
+                                   # is Zipf-bounded, so this stays small
+                                   # while skipping ~all md5 calls
+
+
 def _feature_bucket_of(terms: np.ndarray, n_features: int) -> np.ndarray:
-    return np.array([int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
-                     % n_features for t in terms], dtype=np.int64)
+    cache = _FEATURE_BUCKET_CACHE
+    out = np.empty(len(terms), np.int64)
+    for i, t in enumerate(terms):
+        key = (n_features, t)
+        b = cache.get(key)
+        if b is None:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8],
+                    16) % n_features
+            if len(cache) < 4_000_000:
+                cache[key] = b
+        out[i] = b
+    return out
 
 
 def dsir_weights(docs_ds, target_sources: tuple[str, ...],
