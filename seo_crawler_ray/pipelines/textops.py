@@ -2445,19 +2445,21 @@ def dsir_weights(docs_ds, target_sources: tuple[str, ...],
     tgt = set(target_sources)
 
     def bucket_counts(batch: pa.Table) -> pa.Table:
-        q = np.zeros(n_features, np.int64)
-        p = np.zeros(n_features, np.int64)
-        for src, t in zip(batch[source_col].to_pylist(),
-                          batch[text_col].to_pylist()):
-            toks = LOWER_WORD_RE.findall(t.lower())
-            if not toks:
-                continue
-            uniq, counts = np.unique(np.array(toks, object),
-                                     return_counts=True)
-            bk = _feature_bucket_of(uniq, n_features)
-            np.add.at(q, bk, counts)
-            if src in tgt:
-                np.add.at(p, bk, counts)
+        import itertools
+        srcs = batch[source_col].to_pylist()
+        toklists = [LOWER_WORD_RE.findall(t.lower())
+                    for t in batch[text_col].to_pylist()]
+        lens = np.fromiter((len(t) for t in toklists),
+                           dtype=np.int64, count=len(toklists))
+        flat = list(itertools.chain.from_iterable(toklists))
+        if not flat:
+            z = pa.array([], pa.int64())
+            return pa.table({"bucket": z, "n_raw": z, "n_target": z})
+        bk = _feature_bucket_of(flat, n_features)
+        q = np.bincount(bk, minlength=n_features)
+        is_tgt = np.repeat(
+            np.fromiter((s in tgt for s in srcs), bool, len(srcs)), lens)
+        p = np.bincount(bk[is_tgt], minlength=n_features)
         nz = np.flatnonzero(q)
         return pa.table({"bucket": pa.array(nz),
                          "n_raw": pa.array(q[nz]),
@@ -2491,11 +2493,9 @@ def dsir_weights(docs_ds, target_sources: tuple[str, ...],
                         for t in batch[text_col].to_pylist()]
             lens = np.fromiter((len(t) for t in toklists),
                                dtype=np.int64, count=len(toklists))
-            flat = np.array(list(itertools.chain.from_iterable(toklists)),
-                            dtype=object)
-            if len(flat):
-                uniq, inv = np.unique(flat, return_inverse=True)
-                vals = self.w[_feature_bucket_of(uniq, n_features)][inv]
+            flat = list(itertools.chain.from_iterable(toklists))
+            if flat:
+                vals = self.w[_feature_bucket_of(flat, n_features)]
             else:
                 vals = np.empty(0, np.int64)
             c = np.concatenate([[0], np.cumsum(vals)])
