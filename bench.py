@@ -95,6 +95,11 @@ def run_bench() -> dict:
     timed("quality_scores",
           lambda: docs.map_batches(textops.quality_batch,
                                    batch_format="pyarrow").count())
+    timed("dup_ngram_spans",
+          lambda: textops.dup_ngram_spans(docs, k=6).count())
+    timed("dsir_weights",
+          lambda: textops.dsir_weights(
+              docs, target_sources=("src0", "src1", "src2")).count())
     emb = queries._emb_ds(SF_DIR)
     timed("ann_topk", lambda: len(embedops.ann_topk(emb)))
     ev = queries._events_ds(SF_DIR)
