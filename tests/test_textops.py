@@ -1341,3 +1341,39 @@ def test_dsir_weights_directionality(ray_session):
         for b in _feature_bucket_of(np.array(toks, object), B))
     assert got.loc[0, "logweight"] == expect
     assert got.loc[0, "n_tokens"] == len(toks)
+
+
+def test_dup_ngram_spans_short_and_empty_docs(ray_session):
+    """Docs with fewer than k tokens (including empty text) emit zero
+    grams but still appear with n_grams=0 — the left-join base-row
+    semantics the SQL oracle encodes."""
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import dup_ngram_spans
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["", "one two", "a b c d e", "a b c d e"],
+    })
+    got = dup_ngram_spans(ray.data.from_pandas(docs), k=3) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert len(got) == 4
+    assert got.loc[0].tolist() == [0, 0, 0, 0]
+    assert got.loc[1].tolist() == [0, 0, 0, 0]   # 2 tokens < k
+    # docs 2/3 are identical: every gram duplicated, one span of 5
+    assert got.loc[2].tolist() == [3, 3, 1, 5]
+    assert got.loc[3].tolist() == [3, 3, 1, 5]
+
+
+def test_dsir_weights_drops_zero_token_docs(ray_session):
+    """Zero-token docs drop from the output (SQL token-join parity);
+    docs made only of non-[a-z0-9] characters count as zero-token."""
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import dsir_weights
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["hello world", "", "!!! ---"],
+        "source": ["tgt", "tgt", "other"],
+    })
+    got = dsir_weights(ray.data.from_pandas(docs),
+                       target_sources=("tgt",), n_features=16).to_pandas()
+    assert sorted(got["doc_id"]) == [0]
+    assert got.iloc[0]["n_tokens"] == 2
