@@ -124,8 +124,11 @@ def _write_generation(docs_ds, gen_dir_final: str, text_col: str,
           .materialize())
     build_blob_store(sh_ds, "doc_id", "shingles",
                      os.path.join(tmp, "blobs"), n_buckets=_BLOB_BUCKETS)
+    # band_layout 2 = one compacted bucket-%05d.parquet file per band
+    # bucket (layout 1 was hive bucket=<b>/ dirs); _BucketProbe reads both,
+    # and compaction refuses layouts it does not know.
     meta = {"n_docs": sh_ds.count(), "band_buckets": _BAND_BUCKETS,
-            "blob_buckets": _BLOB_BUCKETS}
+            "blob_buckets": _BLOB_BUCKETS, "band_layout": 2}
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(tmp, "_OK"), "w") as f:
@@ -160,6 +163,9 @@ def append_minhash_index(docs_ds, index_dir: str, text_col: str = "text",
     return index_dir
 
 
+_MISS = object()    # LRU sentinel: a cached None (missing partition) is a HIT
+
+
 class _BucketProbe:
     """Actor-pool probe: query band rows (bucket-sorted upstream, so each
     actor sees a contiguous bucket range) are merged on (band, band_hash)
@@ -170,24 +176,48 @@ class _BucketProbe:
 
     _LRU = 16
 
-    def __init__(self, gen_dirs: tuple[str, ...]):
+    def __init__(self, gen_dirs: tuple[str, ...],
+                 pair_cap: int = _GROUP_PAIR_CAP):
         from collections import OrderedDict
         self.gen_dirs = gen_dirs
+        self.pair_cap = pair_cap
         self.cache: "OrderedDict[tuple[str, int], pd.DataFrame]" = \
             OrderedDict()
+        self.partition_reads = 0    # disk reads (cache misses), test hook
 
     def _partition(self, gen: str, b: int) -> pd.DataFrame | None:
         key = (gen, b)
-        hit = self.cache.get(key)
-        if hit is not None:
+        hit = self.cache.get(key, _MISS)
+        if hit is not _MISS:
             self.cache.move_to_end(key)
             return hit
         path = os.path.join(gen, "bands", f"bucket-{b:05d}.parquet")
         if not os.path.exists(path):
+            # band_layout 1 fallback: hive dir written by earlier builds
+            path = os.path.join(gen, "bands", f"bucket={b}")
+        if not os.path.exists(path):
             part = None
         else:
+            self.partition_reads += 1
             part = pq.read_table(
                 path, columns=["band", "band_hash", "doc_id"]).to_pandas()
+            if len(part):
+                # hot-key star-expansion guard, applied at index-LOAD time
+                # so the collapse depends only on index contents — never on
+                # how probe rows happen to batch (partition-layout
+                # invariant). A (band, band_hash) key with > pair_cap old
+                # docs collapses to its min doc_id representative;
+                # identical-sketch old docs answer "near-dup of history?"
+                # identically, and the full pair enumeration is the
+                # documented cost.
+                sizes = part.groupby(["band", "band_hash"])["doc_id"] \
+                    .transform("size")
+                if (sizes > self.pair_cap).any():
+                    hot = part[sizes > self.pair_cap]
+                    keep = hot.sort_values("doc_id").drop_duplicates(
+                        subset=["band", "band_hash"])
+                    part = pd.concat([part[sizes <= self.pair_cap], keep],
+                                     ignore_index=True)
         self.cache[key] = part
         if len(self.cache) > self._LRU:
             self.cache.popitem(last=False)
@@ -205,12 +235,6 @@ class _BucketProbe:
                     suffixes=("_new", "_old"))
                 if not len(hit):
                     continue
-                if len(hit) > _GROUP_PAIR_CAP:
-                    # hot-partition guard: keep one old doc per (band,
-                    # band_hash, new doc) — star expansion, same
-                    # "near-dup of history?" answer
-                    hit = hit.sort_values("doc_id_old").drop_duplicates(
-                        subset=["band", "band_hash", "doc_id_new"])
                 out.append(hit[["doc_id_new", "doc_id_old"]])
         if not out:
             return pd.DataFrame({"new": pd.Series([], dtype="int64"),
@@ -285,7 +309,8 @@ _EMPTY_RESULT = {"new": pd.Series([], dtype="int64"),
 
 def query_minhash_index(new_docs_ds, index_dir: str,
                         threshold: float = 0.7, text_col: str = "text",
-                        id_col: str = "doc_id") -> pd.DataFrame:
+                        id_col: str = "doc_id",
+                        pair_cap: int = _GROUP_PAIR_CAP) -> pd.DataFrame:
     """Near-dup pairs between ``new_docs_ds`` and everything indexed.
 
     Returns a DataFrame (new, old, jaccard >= threshold), sorted. Output-
@@ -305,7 +330,8 @@ def query_minhash_index(new_docs_ds, index_dir: str,
             .sort("bucket")      # narrow rows; aligns actors to buckets
             .map_batches(_BucketProbe, batch_format="pandas",
                          batch_size=16384, concurrency=(1, 8),
-                         fn_constructor_kwargs={"gen_dirs": gen_dirs}))
+                         fn_constructor_kwargs={"gen_dirs": gen_dirs,
+                                                "pair_cap": pair_cap}))
     cand = cand.materialize()
     if cand.count() == 0:
         return pd.DataFrame(_EMPTY_RESULT)
@@ -317,14 +343,21 @@ def query_minhash_index(new_docs_ds, index_dir: str,
         if "new" in t.column_names:          # skip schemaless empty blocks
             need.update(t["new"].to_pylist())
 
+    _empty_sh = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "shingles": pa.array([], pa.binary())})
+
     def keep_needed(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names:   # schemaless empty block
+            return _empty_sh
         mask = [i in need for i in batch["doc_id"].to_pylist()]
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(mask, pa.bool_()))
 
     new_blobs: dict[int, bytes] = {}
     for ref in (sh_new.map_batches(keep_needed, batch_format="pyarrow")
                 .to_arrow_refs()):
         t = ray.get(ref)
+        if "doc_id" not in t.column_names:       # schemaless empty block
+            continue
         new_blobs.update(zip(t["doc_id"].to_pylist(),
                              t["shingles"].to_pylist()))
     new_ref = ray.put(new_blobs)
@@ -338,3 +371,124 @@ def query_minhash_index(new_docs_ds, index_dir: str,
         return pd.DataFrame(_EMPTY_RESULT)
     return (out.drop_duplicates(subset=["new", "old"])
             .sort_values(["new", "old"]).reset_index(drop=True))
+
+
+# --------------------------------------------------------- compaction ----
+def compact_minhash_index(index_dir: str) -> dict:
+    """LSM major compaction: merge every generation into ONE, so a query
+    probes O(touched buckets) partitions instead of
+    O(generations x buckets), and the verify stage opens one blob store
+    instead of falling through a fetcher per generation.
+
+    Both artifacts stream disk->disk: band rows are re-read from the
+    per-bucket parquet files (narrow rows) through one groupby(bucket);
+    shingle blobs are seek-read from each generation's part files in
+    index order and rewritten through ``build_blob_store``'s two-phase
+    build — the payload is never shuffled. Doc ids are globally unique
+    across generations (append contract), so the merge is a plain concat.
+
+    Crash-safe: the merged generation lands via the same tmp-dir ``_OK``
+    rename as ``_write_generation``; old generations lose their ``_OK``
+    markers first (each unlink atomic) and are then deleted. A crash in
+    the tiny window where both old and merged are visible only duplicates
+    band rows / blobs, which query results are invariant to (candidate
+    pairs are deduplicated, first blob hit wins).
+    """
+    import shutil
+
+    import ray.data
+
+    gens = _generations(index_dir)
+    if len(gens) <= 1:
+        raise ValueError(f"nothing to compact at {index_dir}: "
+                         f"{len(gens)} generation(s)")
+    n_docs = 0
+    for g in gens:
+        with open(os.path.join(g, "meta.json")) as f:
+            m = json.load(f)
+        if m.get("band_layout") != 2:
+            raise ValueError(
+                f"generation {g} has band_layout={m.get('band_layout')!r} "
+                "(pre-layout-2 hive build); rebuild it with the current "
+                "code before compacting — queries still read it directly")
+        n_docs += int(m["n_docs"])
+    next_n = max(int(os.path.basename(g).split("-")[1]) for g in gens) + 1
+
+    tmp = os.path.join(index_dir, f".tmp-{uuid.uuid4().hex[:12]}")
+    bands_dir = os.path.join(tmp, "bands")
+    os.makedirs(bands_dir)
+
+    # 1. band rows: per-bucket files are already (band, band_hash, doc_id);
+    #    recompute the bucket (deterministic in band_hash) and merge per
+    #    bucket into one compacted file.
+    from functools import partial
+    band_files = [os.path.join(g, "bands", f)
+                  for g in gens for f in sorted(os.listdir(
+                      os.path.join(g, "bands")))]
+
+    def retag(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket", pa.array(_band_bucket(bh)))
+
+    (ray.data.read_parquet(band_files)
+        .map_batches(retag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(partial(_write_band_bucket, out_dir=bands_dir),
+                    batch_format="pyarrow")
+        .materialize())
+
+    # 2. blobs: the narrow offset indexes drive grouped seek-reads of the
+    #    old part files; blobs re-land in new part files block-local.
+    idx_ds = None
+    for g in gens:
+        store = os.path.join(g, "blobs")
+        part_ds = ray.data.read_parquet(
+            sorted(os.path.join(store, "idx", f)
+                   for f in os.listdir(os.path.join(store, "idx")))
+        ).map_batches(
+            lambda t, s=store: t.append_column(
+                "store", pa.array([s] * len(t), pa.string())),
+            batch_format="pyarrow")
+        idx_ds = part_ds if idx_ds is None else idx_ds.union(part_ds)
+
+    def read_blobs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["store", "part", "offset"])
+        keys, blobs = [], []
+        cur_path, f = None, None
+        try:
+            for store, part, off, ln, key in zip(
+                    df["store"], df["part"], df["offset"], df["length"],
+                    df["key"]):
+                path = os.path.join(store, "parts", part + ".bin")
+                if path != cur_path:
+                    if f is not None:
+                        f.close()
+                    f = open(path, "rb")
+                    cur_path = path
+                f.seek(int(off))
+                blobs.append(f.read(int(ln)))
+                keys.append(int(key))
+        finally:
+            if f is not None:
+                f.close()
+        return pa.table({"doc_id": pa.array(keys, pa.int64()),
+                         "shingles": pa.array(blobs, pa.binary())})
+
+    blob_ds = idx_ds.map_batches(read_blobs, batch_format="pyarrow",
+                                 batch_size=8192)
+    build_blob_store(blob_ds, "doc_id", "shingles",
+                     os.path.join(tmp, "blobs"), n_buckets=_BLOB_BUCKETS)
+
+    meta = {"n_docs": n_docs, "band_buckets": _BAND_BUCKETS,
+            "blob_buckets": _BLOB_BUCKETS, "band_layout": 2,
+            "compacted_from": len(gens)}
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(tmp, "_OK"), "w") as f:
+        f.write("ok")
+    os.rename(tmp, os.path.join(index_dir, f"gen-{next_n:06d}"))
+    for g in gens:                       # invisible first, then gone
+        os.unlink(os.path.join(g, "_OK"))
+    for g in gens:
+        shutil.rmtree(g)
+    return meta

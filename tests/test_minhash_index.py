@@ -131,3 +131,99 @@ def test_identical_doc_hits_index_at_one(ray_session, tmp_path_factory):
     hits = got[got["old"] == int(t["doc_id"].iloc[3])]
     assert len(hits) == 1
     assert float(hits["jaccard"].iloc[0]) == 1.0
+
+
+def test_compaction_preserves_query_and_reduces_probe_reads(
+        ray_session, tmp_path_factory):
+    """Major compaction: pairs identical pre/post, one generation remains,
+    and the probe pays O(touched buckets) partition reads instead of
+    O(generations x buckets)."""
+    from seo_crawler_ray.pipelines.minhash_index import (
+        _BucketProbe, _bands_with_bucket, _generations, append_minhash_index,
+        build_minhash_index, compact_minhash_index, query_minhash_index)
+    from seo_crawler_ray.pipelines.textops import shingle_blob_batch
+    import pyarrow as pa
+
+    idx_dir = str(tmp_path_factory.mktemp("mh_compact") / "idx")
+    build_minhash_index(_split_ds(SF, lambda i: i % 3 == 0), idx_dir)
+    append_minhash_index(_split_ds(SF, lambda i: i % 3 == 1), idx_dir)
+    append_minhash_index(_split_ds(SF, lambda i: i % 3 == 2), idx_dir)
+    assert len(_generations(idx_dir)) == 3
+
+    newd = _split_ds(SF, lambda i: i < 40)
+    want = query_minhash_index(newd, idx_dir, threshold=0.5)
+    assert len(want) > 0
+
+    # probe-read count on the same band rows, before vs after
+    probe_in = _bands_with_bucket(shingle_blob_batch(
+        pa.table(newd.to_pandas()[["doc_id", "text"]]),
+        text_col="text", id_col="doc_id")).to_pandas()
+    touched = probe_in["bucket"].nunique()
+
+    def reads(gen_dirs):
+        p = _BucketProbe(tuple(gen_dirs))
+        p._LRU = 10_000                     # count distinct reads only
+        srt = probe_in.sort_values("bucket").reset_index(drop=True)
+        for i in range(0, len(srt), 512):
+            p(srt.iloc[i:i + 512])
+        return p.partition_reads
+
+    pre = reads(_generations(idx_dir))
+
+    meta = compact_minhash_index(idx_dir)
+    gens = _generations(idx_dir)
+    assert len(gens) == 1
+    assert meta["compacted_from"] == 3
+
+    got = query_minhash_index(newd, idx_dir, threshold=0.5)
+    pd.testing.assert_frame_equal(got, want)
+
+    post = reads(gens)
+    assert post <= touched
+    assert post < pre                       # strictly fewer disk reads
+
+    # nothing left to compact
+    with pytest.raises(ValueError):
+        compact_minhash_index(idx_dir)
+
+
+def test_query_reads_pre_layout2_hive_generation(ray_session,
+                                                 tmp_path_factory):
+    """band_layout 1 (hive bucket=<b>/ dirs, written by earlier builds)
+    must still be readable by the probe (ADVICE r4: the flat-file rename
+    silently returned zero pairs on old indexes), and compaction must
+    refuse it loudly rather than merge a layout it does not know."""
+    import glob
+    import json as _json
+    import shutil
+
+    from seo_crawler_ray.pipelines.minhash_index import (
+        append_minhash_index, build_minhash_index, compact_minhash_index,
+        query_minhash_index)
+
+    idx_dir = str(tmp_path_factory.mktemp("mh_hive") / "idx")
+    build_minhash_index(_split_ds(SF, lambda i: i % 4 == 0), idx_dir)
+    # second (layout-2) generation so compaction reaches the layout check
+    append_minhash_index(_split_ds(SF, lambda i: i % 4 == 2), idx_dir)
+    newd = _split_ds(SF, lambda i: i % 2 == 1)
+    want = query_minhash_index(newd, idx_dir, threshold=0.5)
+    assert len(want) > 0
+
+    # rewrite gen-000000's bands into the old hive layout and strip the
+    # meta marker, exactly what a pre-layout-2 build left on disk
+    gen = os.path.join(idx_dir, "gen-000000")
+    for f in glob.glob(os.path.join(gen, "bands", "bucket-*.parquet")):
+        b = int(os.path.basename(f).split("-")[1].split(".")[0])
+        d = os.path.join(gen, "bands", f"bucket={b}")
+        os.makedirs(d)
+        shutil.move(f, os.path.join(d, "part-0.parquet"))
+    mp = os.path.join(gen, "meta.json")
+    meta = _json.load(open(mp))
+    del meta["band_layout"]
+    _json.dump(meta, open(mp, "w"))
+
+    got = query_minhash_index(newd, idx_dir, threshold=0.5)
+    pd.testing.assert_frame_equal(got, want)
+
+    with pytest.raises(ValueError, match="band_layout"):
+        compact_minhash_index(idx_dir)

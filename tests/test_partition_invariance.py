@@ -206,3 +206,40 @@ def test_minhash_index_partition_invariant(ray_session, docs_pdf,
     b = run(13, 9)
     pd.testing.assert_frame_equal(a, b)
     assert (31, 0) in set(zip(a["new"].astype(int), a["old"].astype(int)))
+
+
+def test_minhash_index_hot_key_cap_partition_invariant(ray_session, docs_pdf,
+                                                       tmp_path_factory):
+    """The hot-key star-expansion cap is applied at index-load time from
+    index contents alone, so a tiny pair_cap must still be layout-invariant
+    (ADVICE r4: the old per-batch cap depended on block boundaries)."""
+    import ray.data
+    from seo_crawler_ray.pipelines import minhash_index as mhi
+
+    pdf = docs_pdf.copy()
+    hot = pdf["text"].iloc[0]
+    # 8 identical history docs (hot (band, band_hash) keys) + 1 matching new
+    hist = pd.concat([
+        pdf[pdf["doc_id"] % 2 == 0],
+        pd.DataFrame({"doc_id": range(1000, 1008), "text": [hot] * 8,
+                      "lang": ["en"] * 8, "source": ["s0"] * 8,
+                      "n_chars": [len(hot)] * 8})], ignore_index=True)
+    newd = pd.DataFrame({"doc_id": [2001], "text": [hot]})
+
+    def run(parts, seed):
+        d = str(tmp_path_factory.mktemp("mh_cap") / "idx")
+        mhi.build_minhash_index(
+            ray.data.from_pandas(hist.sample(frac=1, random_state=seed))
+            .repartition(parts), d)
+        got = mhi.query_minhash_index(
+            ray.data.from_pandas(newd), d, threshold=0.9, pair_cap=2)
+        return _sorted(got)
+
+    a = run(1, 3)
+    b = run(13, 9)
+    pd.testing.assert_frame_equal(a, b)
+    # collapsed: the min-doc_id representative of the identical clones
+    # survives (doc 0 is itself one of the clones)
+    olds = set(a["old"].astype(int))
+    assert 0 in olds
+    assert not olds & set(range(1001, 1008))
