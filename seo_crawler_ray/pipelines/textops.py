@@ -26,7 +26,9 @@ coefficients) are module-level so actor pools and task workers share them.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
+import tempfile
 import zlib
 
 import numpy as np
@@ -2172,8 +2174,10 @@ def _count_lower_words(text: str) -> int:
     mask = _LOWER_WORD_MASK[arr]
     return int(mask[0]) + int(np.count_nonzero(mask[1:] & ~mask[:-1]))
 
-def dup_ngram_spans(docs_ds, k: int = 6, n_buckets: int = 64,
-                    id_col: str = "doc_id", text_col: str = "text"):
+def dup_ngram_spans(docs_ds, k: int = 6, n_buckets: int = 0,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_waves: int = 0, store_budget_bytes: int = 0,
+                    scratch_dir: str | None = None):
     """Exact-substring duplication detection (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better",
     arXiv:2107.06499 — the ExactSubstr operation, re-expressed as one
@@ -2213,16 +2217,57 @@ def dup_ngram_spans(docs_ds, k: int = 6, n_buckets: int = 64,
     independent uint64 lanes (k shifted vector ops per doc). Equal
     grams hash equal by construction; a cross-lane collision between
     the ~n_tokens distinct grams is ~n^2 / 2^129 (immaterial at 10^10).
+
+    Sizing is self-deriving (no manual tuning; mirrors the crawl's
+    corpus-bucket auto-sizing):
+
+    - ``n_buckets=0`` derives the bucket count from the estimated gram
+      shuffle bytes (input bytes / ~6 B per token x 30 B per gram row)
+      so each bucket group stays worker-heap-sized (~256 MB);
+    - ``n_waves=0`` derives a PASS count: when the estimated shuffle
+      exceeds ~half the object store (measured: past the store the
+      shuffle is spill-disk-bound at ~110 MiB/s on the dev box — the
+      150k-doc knee), the gram space is partitioned into ``n_waves``
+      slices by ``bucket % n_waves`` and each wave runs its own small
+      shuffle. A gram lands in exactly one wave, so within-wave counts
+      are still global counts; each wave's DUPLICATED positions (output-
+      sized, not corpus-sized) persist to ``scratch_dir`` parquet, and
+      one final id-bucket groupby merges spans across waves — exactness
+      does not depend on the wave split. Re-tokenizing per wave is
+      deliberate: CPU re-scan beats disk-bound spill. ``scratch_dir``
+      (default: a fresh dir under /tmp/seo_ray_scratch) is left on disk
+      for the caller to inspect or delete.
     """
+    import ray.data
     from ray.data.aggregate import Sum
 
+    # ---- auto-sizing (crawl.py corpus_buckets pattern) -------------------
+    _ROW_BYTES = 30              # 16-byte hash + int64 id + int32 + int16
+    try:
+        est_in = docs_ds.size_bytes() or 0
+    except Exception:
+        est_in = 0
+    est_shuffle = (est_in // 6) * _ROW_BYTES     # ~6 input bytes per token
+    if n_buckets <= 0:
+        n_buckets = int(min(32767, max(64, -(-est_shuffle // (256 << 20)))))
     if not 1 <= n_buckets <= 32767:       # bucket travels as int16
         raise ValueError("n_buckets must be in [1, 32767]")
+    if n_waves <= 0:
+        if store_budget_bytes <= 0:
+            try:
+                import ray
+                store_budget_bytes = int(ray.cluster_resources()
+                                         .get("object_store_memory", 0))
+            except Exception:
+                store_budget_bytes = 0
+        n_waves = (max(1, int(-(-2 * est_shuffle // store_budget_bytes)))
+                   if store_budget_bytes and est_shuffle else 1)
+    n_waves = min(n_waves, n_buckets)
     p1 = (np.uint64(0x9E3779B97F4A7C15)
           ** np.arange(k, dtype=np.uint64))        # wrapping powers
     p2 = np.uint64(0xC2B2AE3D27D4EB4F) ** np.arange(k, dtype=np.uint64)
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
+    def gram_rows(batch: pa.Table, wave: int = -1) -> pa.Table:
         import itertools
         ids = batch[id_col].to_pylist()
         toklists = [LOWER_WORD_RE.findall(t.lower())
@@ -2271,11 +2316,16 @@ def dup_ngram_spans(docs_ds, k: int = 6, n_buckets: int = 64,
         if not len(sel):
             return empty
         d_sel = doc_idx[sel]
-        g1 = g1[sel]
+        g1s = g1[sel]
+        bucket = (g1s % np.uint64(n_buckets)).astype(np.int16)
+        if wave >= 0:                    # wave mode: this pass's slice only
+            m = (bucket.astype(np.int32) % n_waves) == wave
+            if not m.any():
+                return empty
+            bucket, g1s, sel, d_sel = bucket[m], g1s[m], sel[m], d_sel[m]
         return pa.table({
-            "bucket": pa.array((g1 % np.uint64(n_buckets))
-                               .astype(np.int16)),
-            "g1": pa.array(g1),
+            "bucket": pa.array(bucket),
+            "g1": pa.array(g1s),
             "g2": pa.array(g2[sel]),
             id_col: pa.array(np.asarray(ids, np.int64)[d_sel]),
             "pos": pa.array((sel - offs[d_sel]).astype(np.int32))})
@@ -2332,15 +2382,38 @@ def dup_ngram_spans(docs_ds, k: int = 6, n_buckets: int = 64,
                          "dup_grams": pa.array(z), "dup_spans": pa.array(z),
                          "dup_tokens": pa.array(z)})
 
-    grams = docs_ds.select_columns([id_col, text_col]) \
-        .map_batches(gram_rows, batch_format="pyarrow")
-    dups = grams.groupby("bucket").map_groups(bucket_dup_positions,
-                                              batch_format="pandas")
-    span_agg = dups.groupby("id_bucket").map_groups(merge_spans,
-                                                    batch_format="pandas")
-    base = docs_ds.select_columns([id_col, text_col]) \
-        .map_batches(base_rows, batch_format="pyarrow")
-    return (base.union(span_agg)
+    proj = docs_ds.select_columns([id_col, text_col])
+    if n_waves > 1:
+        # spill-wave mode: K disjoint gram-slice shuffles, each sized to
+        # stay inside the object store; only DUPLICATED positions (narrow,
+        # output-sized rows) persist between passes
+        if scratch_dir is None:
+            os.makedirs("/tmp/seo_ray_scratch", exist_ok=True)
+            scratch_dir = tempfile.mkdtemp(prefix="dup_ngram_waves_",
+                                           dir="/tmp/seo_ray_scratch")
+        for w in range(n_waves):
+            wave_dir = os.path.join(scratch_dir, f"wave-{w}")
+            os.makedirs(wave_dir, exist_ok=True)
+            (proj.map_batches(gram_rows, batch_format="pyarrow",
+                              fn_kwargs={"wave": w})
+                 .groupby("bucket")
+                 .map_groups(bucket_dup_positions, batch_format="pandas")
+                 .write_parquet(wave_dir))
+        files = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(scratch_dir) for f in fs
+            if f.endswith(".parquet"))
+        dups = ray.data.read_parquet(files) if files else None
+    else:
+        grams = proj.map_batches(gram_rows, batch_format="pyarrow")
+        dups = grams.groupby("bucket").map_groups(bucket_dup_positions,
+                                                  batch_format="pandas")
+    base = proj.map_batches(base_rows, batch_format="pyarrow")
+    if dups is not None:
+        span_agg = dups.groupby("id_bucket").map_groups(
+            merge_spans, batch_format="pandas")
+        base = base.union(span_agg)
+    return (base
             .groupby(id_col)
             .aggregate(Sum("n_grams", alias_name="n_grams"),
                        Sum("dup_grams", alias_name="dup_grams"),
