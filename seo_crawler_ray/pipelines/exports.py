@@ -355,19 +355,28 @@ def viz_edges_distributed(pages_ds, links_ds, max_nodes: int = 500) -> pd.DataFr
 
 
 def rebuild_frontier_from_links(pages_ds, links_ds, mode: str = "auto",
-                                broadcast_page_limit: int | None = None) -> pd.DataFrame:
+                                broadcast_page_limit: int | None = None,
+                                out_dir: str | None = None):
     """J5 resume rebuild (crawler.py:455-476): internal link targets not in
     the crawled set, deduped first-seen (min source_rank per target).
 
     mode='broadcast' (auto below the page limit): the crawled-url set is
-    the small side and rides as one broadcast set. mode='bucketed' (auto
-    above — post-crash frontiers over a huge crawl): hash-bucket co-shuffle
-    anti-join with the min-rank dedup *inside* the shuffle (coshuffle.py),
-    so only the already-deduped pending frontier reaches the driver.
+    the small side and rides as one broadcast set; the min-rank dedup of
+    the (already anti-filtered, pending-sized) rows still runs as a
+    bucketed shuffle. mode='bucketed' (auto above — post-crash frontiers
+    over a huge crawl): hash-bucket co-shuffle anti-join with the min-rank
+    dedup *inside* the shuffle (coshuffle.py).
+
+    Returns a streaming Dataset of ``target_url`` rows in first-seen
+    (source_rank) order — the full frontier never materializes on the
+    driver in either mode. When ``out_dir`` is given the deduped frontier
+    is also written there as ``(target_url, source_rank)`` parquet (the
+    checkpoint-sink shape, rank kept so a resume can re-sort shards).
     """
     import ray
 
     from .analysis import BROADCAST_PAGE_LIMIT
+    from .coshuffle import bucketed_anti_min
 
     if broadcast_page_limit is None:
         broadcast_page_limit = BROADCAST_PAGE_LIMIT
@@ -376,45 +385,39 @@ def rebuild_frontier_from_links(pages_ds, links_ds, mode: str = "auto",
         mode = ("broadcast" if crawled_ds.count() <= broadcast_page_limit
                 else "bucketed")
 
+    def internal_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["is_internal"].combine_chunks()
+                            if isinstance(batch["is_internal"], pa.ChunkedArray)
+                            else batch["is_internal"])
+
+    probe = (links_ds.select_columns(
+        ["target_url", "is_internal", "source_rank"])
+        .map_batches(internal_only, batch_format="pyarrow"))
+
     if mode == "bucketed":
-        from .coshuffle import bucketed_anti_min
-
-        def internal_only(batch: pa.Table) -> pa.Table:
-            return batch.filter(batch["is_internal"].combine_chunks()
-                                if isinstance(batch["is_internal"], pa.ChunkedArray)
-                                else batch["is_internal"])
-
-        probe = (links_ds.select_columns(
-            ["target_url", "is_internal", "source_rank"])
-            .map_batches(internal_only, batch_format="pyarrow"))
         pending = bucketed_anti_min(
-            probe, "target_url", "source_rank",
-            crawled_ds, "url").to_pandas()
-        pending = (pending.sort_values("source_rank")
-                   .reset_index(drop=True))
-        return pending[["target_url"]]
+            probe, "target_url", "source_rank", crawled_ds, "url")
+    else:
+        crawled_ref = ray.put(set(crawled_ds.to_pandas()["url"]))
 
-    crawled = set(crawled_ds.to_pandas()["url"])
-    crawled_ref = ray.put(crawled)
+        class Anti:
+            def __init__(self, ref):
+                self.crawled = ray.get(ref)
 
-    def anti(batch: pa.Table, crawled_set) -> pa.Table:
-        keep, urls = [], batch["target_url"].to_pylist()
-        flags = [bool(i) and u not in crawled_set
-                 for u, i in zip(urls, batch["is_internal"].to_pylist())]
-        return batch.filter(pa.array(flags))
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                flags = [u not in self.crawled
+                         for u in batch["target_url"].to_pylist()]
+                return batch.filter(pa.array(flags, pa.bool_()))
 
-    class Anti:
-        def __init__(self, ref):
-            self.crawled = ray.get(ref)
+        filtered = probe.map_batches(Anti, fn_constructor_args=(crawled_ref,),
+                                     batch_format="pyarrow",
+                                     concurrency=(1, 4))
+        # min-rank first-seen dedup over the pending-sized remainder: the
+        # same bucketed reduce, probed against an empty crawled side
+        pending = bucketed_anti_min(
+            filtered, "target_url", "source_rank", crawled_ds.limit(0), "url")
 
-        def __call__(self, batch):
-            return anti(batch, self.crawled)
-
-    pending = links_ds.select_columns(
-        ["target_url", "is_internal", "source_rank"]).map_batches(
-        Anti, fn_constructor_args=(crawled_ref,), batch_format="pyarrow",
-        concurrency=(1, 4)).to_pandas()
-    pending = (pending.sort_values("source_rank")
-               .drop_duplicates(subset=["target_url"], keep="first")
-               .reset_index(drop=True))
-    return pending[["target_url"]]
+    if out_dir is not None:
+        pending = pending.materialize()      # write once, then re-consume
+        pending.write_parquet(out_dir)
+    return pending.sort("source_rank").select_columns(["target_url"])
