@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import zlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -141,10 +142,21 @@ class BroadcastFetcher:
         self._ct = corpus["content_type_header"].combine_chunks()
 
     def lookup(self, urls: list[str]) -> list[tuple | None]:
-        out: list[tuple | None] = []
-        for u in urls:
-            i = self._index.get(u)
-            out.append(None if i is None else
-                       (self._html[i].as_py(), int(self._status[i]),
-                        self._ct[i].as_py()))
+        # positions via the persistent dict (pc.index_in would rebuild a
+        # value_set hash table per call), then BULK Arrow takes — the
+        # per-row .as_py() scalar path was the wave-loop's last per-URL
+        # Python hot spot
+        n = len(urls)
+        pos = np.fromiter((self._index.get(u, -1) for u in urls),
+                          np.int64, count=n)
+        hits = np.flatnonzero(pos >= 0)
+        out: list[tuple | None] = [None] * n
+        if not len(hits):
+            return out
+        take = pa.array(pos[hits])
+        htmls = self._html.take(take).to_pylist()
+        cts = self._ct.take(take).to_pylist()
+        stats = self._status[pos[hits]]
+        for j, h, s, c in zip(hits, htmls, stats, cts):
+            out[j] = (h, int(s), c)
         return out

@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 from urllib.parse import urlparse
 
+import numpy as np
 import pyarrow as pa
 import ray
 
@@ -316,11 +317,17 @@ def precollapse_candidates(tbl: pa.Table) -> pa.Table:
     shuffle volume several-fold before any row leaves the task."""
     if tbl.num_rows < 2:
         return tbl
-    df = tbl.to_pandas()
-    df = df.sort_values("key", kind="mergesort") \
-           .drop_duplicates("url", keep="first")
-    out = pa.Table.from_pandas(df, preserve_index=False)
-    return out.replace_schema_metadata(None).cast(tbl.schema)
+    # pure Arrow (the pandas round-trip copied every column twice): sort by
+    # key, then first row per url via dictionary codes + np.unique (returns
+    # the first index per distinct code). Keys are unique by construction
+    # (rank<<21 | link_idx), so "min key" needs no tie-breaking.
+    srt = tbl.take(pa.compute.sort_indices(tbl, sort_keys=[("key",
+                                                            "ascending")]))
+    codes = pa.compute.dictionary_encode(
+        srt["url"].combine_chunks()).indices.to_numpy()
+    _, first_idx = np.unique(codes, return_index=True)
+    first_idx.sort()
+    return srt.take(pa.array(first_idx))
 
 
 def explode_outlinks(batch: pa.Table) -> pa.Table:
