@@ -2249,7 +2249,10 @@ def dup_ngram_spans(docs_ds, k: int = 6, n_buckets: int = 0,
         est_in = 0
     est_shuffle = (est_in // 6) * _ROW_BYTES     # ~6 input bytes per token
     if n_buckets <= 0:
-        n_buckets = int(min(32767, max(64, -(-est_shuffle // (256 << 20)))))
+        # ~64 MB of gram rows per bucket: A/B at 100k docs (10 GB shuffle)
+        # measured 256 buckets 1.7x faster end-to-end than 64 (more,
+        # smaller reduce tasks pipeline better through the 32-way pool)
+        n_buckets = int(min(32767, max(64, -(-est_shuffle // (64 << 20)))))
     if not 1 <= n_buckets <= 32767:       # bucket travels as int16
         raise ValueError("n_buckets must be in [1, 32767]")
     if n_waves <= 0:
@@ -2260,7 +2263,12 @@ def dup_ngram_spans(docs_ds, k: int = 6, n_buckets: int = 0,
                                          .get("object_store_memory", 0))
             except Exception:
                 store_budget_bytes = 0
-        n_waves = (max(1, int(-(-2 * est_shuffle // store_budget_bytes)))
+        # the shuffle's OBJECT-STORE footprint is ~3.5x the raw row bytes
+        # (map-output + reduce-input copies + Arrow overhead: the r4 knee
+        # measured a 15.3 GB-raw shuffle spilling ~15 GB past a 37 GB
+        # store); a wave must keep its whole footprint inside the store
+        n_waves = (max(1, int(-(-7 * est_shuffle
+                                // (2 * store_budget_bytes))))
                    if store_budget_bytes and est_shuffle else 1)
     n_waves = min(n_waves, n_buckets)
     p1 = (np.uint64(0x9E3779B97F4A7C15)

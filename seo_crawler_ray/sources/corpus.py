@@ -673,7 +673,7 @@ def _sitemap_rows(ir: dict) -> list[dict]:
         {"url": f"https://{HOT_HOST}/sitemap.xml", "xml": urlset(main_urls)},
         {"url": f"https://{HOT_HOST}/sitemap_index.xml", "xml": index_xml},
         {"url": f"https://{HOT_HOST}/sm/a.xml", "xml": urlset(a_urls)},
-        {"url": f"https://{HOT_HOST}/sm/b.xml.gz", "xml": gzip.compress(urlset(b_urls))},
+        {"url": f"https://{HOT_HOST}/sm/b.xml.gz", "xml": gzip.compress(urlset(b_urls), mtime=0)},
     ]
     # generator-side truth for the discovery ORDER (sitemap_parser.py:26-47):
     # probe /sitemap.xml (main), /sitemap_index.xml (a then b via the index),
@@ -684,16 +684,59 @@ def _sitemap_rows(ir: dict) -> list[dict]:
 
 
 def generate_corpus(out_dir: str, n_pages: int, seed: int = 42) -> None:
-    """Write the corpus input + sidecar tables to ``out_dir`` (atomic)."""
+    """Write the corpus input + sidecar tables to ``out_dir`` (atomic).
+
+    ``pages``/``meta``/``candidates`` stream to disk through
+    ``pq.ParquetWriter`` in fixed row-count chunks (a multiple of the
+    2048-row groups, so the row-group layout is identical to the former
+    single ``write_table``): the generator's peak heap is one chunk of
+    bodies plus the truth rows, not the whole corpus — measured ~60 GB
+    at 600k pages with the all-in-lists version, which made multi-million-
+    page corpora impossible on a 128 GiB box.
+    """
     os.makedirs(out_dir, exist_ok=True)
     ir = build_corpus_ir(n_pages, seed)
     rng = random.Random(seed + 1)
 
+    pages_schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("ms")),
+        ("html", pa.large_binary()), ("text", pa.large_string()),
+        ("lang", pa.string()),
+    ])
+    _CHUNK = 2048 * 16          # flush cadence; multiple of row_group_size
     pages_cols = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
     meta_cols = {"url": [], "page_id": [], "host": [], "path": [], "kind": [],
                  "status_code": [], "content_type_header": [], "size": []}
     truth_rows = []
     cand_rows = []
+    cand_schema = pa.schema([("source_url", pa.string()),
+                             ("href", pa.string()),
+                             ("clean_url", pa.string())])
+    pages_w = pq.ParquetWriter(os.path.join(out_dir, "pages.parquet"),
+                               pages_schema)
+    meta_w: pq.ParquetWriter | None = None
+    cand_w = pq.ParquetWriter(os.path.join(out_dir, "candidates.parquet"),
+                              cand_schema)
+
+    def _flush_pages() -> None:
+        nonlocal meta_w
+        if not pages_cols["url"]:
+            return
+        pages_w.write_table(pa.table(pages_cols, schema=pages_schema),
+                            row_group_size=2048)
+        mt = pa.table(meta_cols)
+        if meta_w is None:
+            meta_w = pq.ParquetWriter(os.path.join(out_dir, "meta.parquet"),
+                                      mt.schema)
+        meta_w.write_table(mt)
+        cand_w.write_table(pa.table(
+            {k: [r[k] for r in cand_rows]
+             for k in ("source_url", "href", "clean_url")},
+            schema=cand_schema))
+        for c in (pages_cols, meta_cols):
+            for v in c.values():
+                v.clear()
+        cand_rows.clear()
 
     base_domain = urlparse(f"https://{SEED_URL_RAW}").netloc or SEED_URL_RAW
 
@@ -739,24 +782,19 @@ def generate_corpus(out_dir: str, n_pages: int, seed: int = 42) -> None:
         meta_cols["status_code"].append(p["status_code"])
         meta_cols["content_type_header"].append(p["content_type_header"])
         meta_cols["size"].append(len(body))
+        if len(pages_cols["url"]) >= _CHUNK:
+            _flush_pages()
 
-    pages_schema = pa.schema([
-        ("url", pa.string()), ("warc_ts", pa.timestamp("ms")),
-        ("html", pa.large_binary()), ("text", pa.large_string()),
-        ("lang", pa.string()),
-    ])
-    pq.write_table(pa.table(pages_cols, schema=pages_schema),
-                   os.path.join(out_dir, "pages.parquet"),
-                   row_group_size=2048)
-    pq.write_table(pa.table(meta_cols), os.path.join(out_dir, "meta.parquet"))
+    _flush_pages()
+    pages_w.close()
+    if meta_w is not None:
+        meta_w.close()
+    cand_w.close()
 
     truth_cols: dict[str, list] = {}
     for key in truth_rows[0]:
         truth_cols[key] = [r[key] for r in truth_rows]
     pq.write_table(pa.table(truth_cols), os.path.join(out_dir, "gen_truth.parquet"))
-    pq.write_table(
-        pa.table({k: [r[k] for r in cand_rows] for k in ("source_url", "href", "clean_url")}),
-        os.path.join(out_dir, "candidates.parquet"))
 
     robots = _robots_rows(ir)
     pq.write_table(
