@@ -46,6 +46,7 @@ def run_bench() -> dict:
 
     cdir = corpus_dir(SF_DIR)   # untimed: generation is cached + warms cache
     queries._pages_meta_path(cdir)  # untimed one-time sidecar build
+    os.sync()  # flush regen writeback so it can't bleed into timed runs
 
     timings: dict[str, float] = {}
 
