@@ -566,3 +566,216 @@ def link_components_sql(exp_pages: str, exp_links: str,
     parts.append(f"""
     SELECT node AS url, label AS component FROM l{n_rounds}""")
     return "".join(parts)
+
+
+# --------------------------------------------------------------- HITS ----
+# Hub/authority scores (Kleinberg's HITS) over the same internal link
+# graph, in the same FIXED-POINT INTEGER discipline as ``pagerank``: each
+# half-iteration L1-renormalizes the raw sums to a total mass of ``scale``
+# via floor division, so the result is bit-deterministic across shard
+# layouts and an unrolled-CTE DuckDB oracle hash-matches it exactly.
+# (Classic HITS L2-normalizes; L1 selects the same principal direction —
+# normalization only fixes the vector's length — and unlike an sqrt it is
+# exactly expressible in both int64 numpy and BIGINT SQL.)
+#
+# Contract per iteration (mirrored in ``hits_sql``):
+#   a_raw(v) = sum_{u->v} h(u)   over edges with BOTH endpoints crawled
+#   a(v)     = a_raw(v) * scale // sum_w a_raw(w)      (0 if the sum is 0)
+#   h_raw(u) = sum_{u->v} a(v)
+#   h(u)     = h_raw(u) * scale // sum_w h_raw(w)      (0 if the sum is 0)
+# with h initialized to ``scale`` on every node. Overflow bound: raw sums
+# are <= E * scale, and the rescale multiplies by ``scale`` again, so
+# E * scale^2 must stay under 2^63 — the default scale 10^6 is safe to
+# ~9e6 distinct internal edges; pass a smaller scale for denser graphs
+# (guarded with an explicit error, never silent wraparound).
+
+def _hits_normalize(raw: np.ndarray, scale: int) -> np.ndarray:
+    tot = int(raw.sum())
+    if tot == 0:
+        return np.zeros(len(raw), dtype=np.int64)
+    if tot > (2 ** 62) // scale:
+        raise ValueError(
+            f"hits: raw mass {tot} * scale {scale} would overflow int64; "
+            "pass a smaller scale")
+    return (raw * scale) // tot
+
+
+def _hits_broadcast(pages_ds, links_ds, n_nodes: int, n_iter: int,
+                    scale: int):
+    """Driver-resident numpy evaluation of the identical integer contract
+    (same edge filter as the oracle: distinct internal pairs, self-loops
+    excluded, both endpoints crawled)."""
+    import ray.data
+
+    urls = pages_ds.select_columns(["url"]).to_pandas()["url"].to_numpy()
+    ln = links_ds.select_columns(
+        ["source_url", "target_url", "is_internal"]).to_pandas()
+    if len(ln):  # an all-empty Dataset to_pandas()es without its columns
+        ln = ln[ln["is_internal"] & (ln["source_url"] != ln["target_url"])]
+        idx = pd.Series(np.arange(n_nodes, dtype=np.int64), index=urls)
+        src = idx.reindex(ln["source_url"]).to_numpy()
+        dst = idx.reindex(ln["target_url"]).to_numpy()
+        ok = ~(np.isnan(src) | np.isnan(dst))
+        pairs = np.unique(
+            np.stack([src[ok], dst[ok]], axis=1).astype(np.int64), axis=0)
+    else:
+        pairs = np.zeros((0, 2), dtype=np.int64)
+    s, t = pairs[:, 0], pairs[:, 1]
+
+    h = np.full(n_nodes, scale, dtype=np.int64)
+    a = np.zeros(n_nodes, dtype=np.int64)
+    for _ in range(n_iter):
+        a_raw = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(a_raw, t, h[s])
+        a = _hits_normalize(a_raw, scale)
+        h_raw = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(h_raw, s, a[t])
+        h = _hits_normalize(h_raw, scale)
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "hub": pa.array(h, pa.int64()),
+        "auth": pa.array(a, pa.int64())}))
+
+
+def hits(pages_ds, links_ds, n_iter: int = 5, scale: int = 10 ** 6,
+         n_buckets: int = 64, mode: str = "auto",
+         broadcast_node_limit: int = BROADCAST_NODE_LIMIT):
+    """Integer HITS over the crawl link graph; returns a streaming Dataset
+    (url, hub, auth) after ``n_iter`` full iterations. Broadcast /
+    distributed auto-switch and per-iteration block-count discipline are
+    identical to ``pagerank`` (see that docstring)."""
+    from ray.data.aggregate import Sum
+
+    import ray.data
+
+    if n_iter < 1:
+        raise ValueError("hits: n_iter must be >= 1")
+    n_nodes = pages_ds.count()
+    if not n_nodes:
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "hub": pa.array([], pa.int64()),
+            "auth": pa.array([], pa.int64())}))
+    if mode == "auto":
+        mode = ("broadcast" if n_nodes <= broadcast_node_limit
+                else "distributed")
+    if mode == "broadcast":
+        return _hits_broadcast(pages_ds, links_ds, n_nodes, n_iter, scale)
+
+    tb = int(min(n_buckets, max(8, n_nodes // 50_000)))
+    # dst is crawled by construction; edges whose SOURCE is uncrawled are
+    # dropped at the h-attach null filter below, so the effective edge set
+    # is both-endpoints-crawled — identical to the broadcast path
+    edges = _internal_edges(links_ds, pages_ds, n_buckets) \
+        .repartition(tb).materialize()
+    nodes = pages_ds.select_columns(["url"]).map_batches(
+        lambda b: pa.table({"node": b["url"].cast(pa.string())}),
+        batch_format="pyarrow").repartition(tb).materialize()
+
+    def _renorm(nodes_ds, raw_ds, raw_key, out_col):
+        """Attach per-node raw sums (0-filled), L1-rescale to ``scale``."""
+        attached = bucketed_left_attach(
+            nodes_ds, "node", raw_ds, raw_key, "raw", "raw", pa.int64(),
+            n_buckets=n_buckets)
+        filled = attached.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "raw": pc.fill_null(b["raw"], 0).cast(pa.int64())}),
+            batch_format="pyarrow").repartition(tb).materialize()
+        tot = filled.sum("raw") or 0
+        if tot > (2 ** 62) // scale:
+            raise ValueError(
+                f"hits: raw mass {tot} * scale {scale} would overflow "
+                "int64; pass a smaller scale")
+
+        def rescale(b: pa.Table, tot=tot) -> pa.Table:
+            raw = b["raw"].to_numpy(zero_copy_only=False)
+            val = ((raw * scale) // tot if tot
+                   else np.zeros(len(raw), dtype=np.int64))
+            return pa.table({"node": b["node"],
+                             out_col: pa.array(val, pa.int64())})
+
+        return filled.map_batches(rescale, batch_format="pyarrow") \
+            .repartition(tb).materialize()
+
+    h = nodes.map_batches(
+        lambda b: b.append_column("h", pa.array(
+            np.full(len(b), scale, dtype=np.int64))),
+        batch_format="pyarrow").materialize()
+    a = None
+    for _ in range(n_iter):
+        with_h = bucketed_left_attach(edges, "src", h, "node", "h",
+                                      "h_src", pa.int64(),
+                                      n_buckets=n_buckets)
+        a_raw = with_h.map_batches(
+            lambda b: pa.table({
+                "dst": b.filter(pc.is_valid(b["h_src"]))["dst"],
+                "raw": b.filter(pc.is_valid(b["h_src"]))["h_src"]}),
+            batch_format="pyarrow") \
+            .groupby("dst").aggregate(Sum("raw", alias_name="raw"))
+        a = _renorm(nodes, a_raw, "dst", "a")
+
+        with_a = bucketed_left_attach(edges, "dst", a, "node", "a",
+                                      "a_dst", pa.int64(),
+                                      n_buckets=n_buckets)
+        h_raw = with_a.map_batches(
+            lambda b: pa.table({
+                "src": b.filter(pc.is_valid(b["a_dst"]))["src"],
+                "raw": b.filter(pc.is_valid(b["a_dst"]))["a_dst"]}),
+            batch_format="pyarrow") \
+            .groupby("src").aggregate(Sum("raw", alias_name="raw"))
+        h = _renorm(nodes, h_raw, "src", "h")
+
+    out = bucketed_left_attach(h, "node", a, "node", "a", "a", pa.int64(),
+                               n_buckets=n_buckets)
+    return out.map_batches(
+        lambda b: pa.table({"url": b["node"], "hub": b["h"],
+                            "auth": pc.fill_null(b["a"], 0)}),
+        batch_format="pyarrow")
+
+
+def hits_sql(exp_pages: str, exp_links: str, n_iter: int = 5,
+             scale: int = 10 ** 6) -> str:
+    """Unrolled-CTE DuckDB mirror of ``hits`` — integer-exact. Generated
+    like ``pagerank_sql`` so constants stay in lockstep."""
+    head = f"""
+    WITH nodes AS MATERIALIZED (
+        SELECT url AS node FROM read_parquet('{exp_pages}')),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT source_url AS src, target_url AS dst
+        FROM read_parquet('{exp_links}')
+        WHERE is_internal AND source_url <> target_url
+          AND source_url IN (SELECT node FROM nodes)
+          AND target_url IN (SELECT node FROM nodes)),
+    h0 AS MATERIALIZED (
+        SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)"""
+    parts = [head]
+    for i in range(n_iter):
+        p, q = f"h{i}", f"h{i + 1}"
+        parts.append(f""",
+    ar{q} AS MATERIALIZED (
+        SELECT e0.dst AS node, CAST(sum({p}.h) AS BIGINT) AS raw
+        FROM e0 JOIN {p} ON e0.src = {p}.node GROUP BY e0.dst),
+    a{q} AS MATERIALIZED (
+        SELECT nodes.node,
+               CAST(CASE WHEN (SELECT COALESCE(sum(raw), 0) FROM ar{q}) = 0
+                         THEN 0
+                         ELSE (COALESCE(ar{q}.raw, 0) * {scale}) //
+                              (SELECT sum(raw) FROM ar{q})
+                    END AS BIGINT) AS a
+        FROM nodes LEFT JOIN ar{q} ON nodes.node = ar{q}.node),
+    hr{q} AS MATERIALIZED (
+        SELECT e0.src AS node, CAST(sum(a{q}.a) AS BIGINT) AS raw
+        FROM e0 JOIN a{q} ON e0.dst = a{q}.node GROUP BY e0.src),
+    {q} AS MATERIALIZED (
+        SELECT nodes.node,
+               CAST(CASE WHEN (SELECT COALESCE(sum(raw), 0) FROM hr{q}) = 0
+                         THEN 0
+                         ELSE (COALESCE(hr{q}.raw, 0) * {scale}) //
+                              (SELECT sum(raw) FROM hr{q})
+                    END AS BIGINT) AS h
+        FROM nodes LEFT JOIN hr{q} ON nodes.node = hr{q}.node)""")
+    parts.append(f"""
+    SELECT h{n_iter}.node AS url, h{n_iter}.h AS hub, ah{n_iter}.a AS auth
+    FROM h{n_iter} JOIN ah{n_iter} ON h{n_iter}.node = ah{n_iter}.node""")
+    return "".join(parts)

@@ -31,6 +31,7 @@ from ..functions.urls import canonicalize
 from ..sources.cache import DUP_SUBSET, corpus_dir, crawl_dir, flagship_config
 from . import analysis, arrowutil, embedops, events, textops
 from .graph import degree_stats_sql as _degree_stats_sql
+from .graph import hits_sql as _hits_sql
 from .graph import link_components_sql as _link_components_sql
 from .graph import pagerank_sql as _pagerank_sql
 
@@ -187,6 +188,15 @@ def q_pagerank(sf_dir: str):
     DuckDB oracle value-hash-matches exactly."""
     from .graph import pagerank
     return pagerank(_pages_ds(sf_dir), _links_ds(sf_dir), n_iter=5)
+
+
+def q_hits_scores(sf_dir: str):
+    """Fixed-point integer HITS (hub/authority, 5 iterations, L1
+    renormalization) over the internal link graph of the crawl — integer
+    arithmetic end to end, so the unrolled-CTE DuckDB oracle
+    value-hash-matches exactly (graph.hits / graph.hits_sql)."""
+    from .graph import hits
+    return hits(_pages_ds(sf_dir), _links_ds(sf_dir), n_iter=5)
 
 
 def q_degree_stats(sf_dir: str):
@@ -1351,7 +1361,8 @@ def queries() -> dict:
         "doc_winnow": q_doc_winnow,
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "inverted_index": q_inverted_index,
-        # --- B: code paths touched in round 5 (re-grade on new code) -----
+        # --- B: code paths touched / added in round 5 (grade on new code) -
+        "hits_scores": q_hits_scores,
         "dup_ngram_spans": q_dup_ngram_spans,
         "resume_rebuild": q_resume_rebuild,
         "crawl_pages": q_crawl_pages,
@@ -1644,6 +1655,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                    string_agg(source_url, '|' ORDER BY source_seq) AS linked_from_joined
             FROM read_parquet('{exp_links}') GROUP BY target_url""",
         "pagerank": _pagerank_sql(exp_pages, exp_links, n_iter=5),
+        "hits_scores": _hits_sql(exp_pages, exp_links, n_iter=5),
         "degree_stats": _degree_stats_sql(exp_pages, exp_links),
         "link_components": _link_components_sql(exp_pages, exp_links),
         "anchor_profiles": f"""

@@ -177,3 +177,95 @@ def test_link_components_sql_matches_operator(link_graph, tmp_path):
     merged = got.merge(oracle, on="url", suffixes=("", "_sql"))
     assert len(merged) == len(nodes)
     assert (merged["component"] == merged["component_sql"]).all()
+
+
+# ------------------------------------------------------------------ HITS --
+def _ref_hits(nodes, edges, n_iter=5, scale=10 ** 6):
+    """Straight-line reference of graph.hits's integer L1-normalized
+    contract: distinct internal pairs, self-loops excluded, BOTH endpoints
+    crawled."""
+    node_set = set(nodes)
+    edges = sorted({(s, t) for s, t in edges
+                    if s != t and s in node_set and t in node_set})
+    h = {v: scale for v in nodes}
+    a = {v: 0 for v in nodes}
+
+    def norm(raw):
+        tot = sum(raw.values())
+        if tot == 0:
+            return {v: 0 for v in nodes}
+        return {v: (raw[v] * scale) // tot for v in nodes}
+
+    for _ in range(n_iter):
+        a_raw = {v: 0 for v in nodes}
+        for s, t in edges:
+            a_raw[t] += h[s]
+        a = norm(a_raw)
+        h_raw = {v: 0 for v in nodes}
+        for s, t in edges:
+            h_raw[s] += a[t]
+        h = norm(h_raw)
+    return h, a
+
+
+def test_hits_matches_reference(link_graph):
+    from seo_crawler_ray.pipelines.graph import hits
+    pages_ds, links_ds, nodes, rows = link_graph
+    got = hits(pages_ds, links_ds, n_iter=5).to_pandas()
+    want_h, want_a = _ref_hits(
+        nodes, [(s, t) for s, t, internal in rows if internal])
+    assert len(got) == len(nodes)
+    assert dict(zip(got["url"], got["hub"])) == want_h
+    assert dict(zip(got["url"], got["auth"])) == want_a
+    # mass is normalized: totals within flooring slack of scale
+    assert 0.99 * 10 ** 6 < got["hub"].sum() <= 10 ** 6
+    assert 0.99 * 10 ** 6 < got["auth"].sum() <= 10 ** 6
+
+
+def test_hits_distributed_path_identical(link_graph):
+    """Co-shuffle path ≡ broadcast path, and invariant to input block
+    layout (shuffled rows, different partition counts, odd bucket count)."""
+    import ray.data
+    from seo_crawler_ray.pipelines.graph import hits
+    pages_ds, links_ds, nodes, rows = link_graph
+    auto = hits(pages_ds, links_ds, n_iter=5).to_pandas()
+    links_pdf = pd.DataFrame(rows, columns=["source_url", "target_url",
+                                            "is_internal"])
+    shuffled = ray.data.from_pandas(
+        links_pdf.sample(frac=1, random_state=7)).repartition(13)
+    dist = hits(pages_ds.repartition(1), shuffled, n_iter=5,
+                mode="distributed", n_buckets=5).to_pandas()
+    am = dict(zip(auto["url"], zip(auto["hub"], auto["auth"])))
+    dm = dict(zip(dist["url"], zip(dist["hub"], dist["auth"])))
+    assert am == dm
+
+
+def test_hits_sql_matches_operator(link_graph, tmp_path):
+    import duckdb
+    from seo_crawler_ray.pipelines.graph import hits, hits_sql
+    pages_ds, links_ds, nodes, rows = link_graph
+    pd.DataFrame({"url": nodes}).to_parquet(tmp_path / "pages.parquet")
+    pd.DataFrame(rows, columns=["source_url", "target_url", "is_internal"]) \
+        .to_parquet(tmp_path / "links.parquet")
+    sql = hits_sql(str(tmp_path / "pages.parquet"),
+                   str(tmp_path / "links.parquet"), n_iter=5)
+    oracle = duckdb.sql(sql).df()
+    got = hits(pages_ds, links_ds, n_iter=5).to_pandas()
+    merged = got.merge(oracle, on="url", suffixes=("", "_sql"))
+    assert len(merged) == len(nodes)
+    assert (merged["hub"] == merged["hub_sql"]).all()
+    assert (merged["auth"] == merged["auth_sql"]).all()
+
+
+def test_hits_no_edges_all_zero(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.graph import hits
+    pages = ray.data.from_pandas(pd.DataFrame(
+        {"url": ["https://ex.com/a", "https://ex.com/b"]}))
+    links = ray.data.from_pandas(pd.DataFrame(
+        {"source_url": pd.Series([], dtype=str),
+         "target_url": pd.Series([], dtype=str),
+         "is_internal": pd.Series([], dtype=bool)}))
+    got = hits(pages, links).to_pandas()
+    assert len(got) == 2
+    assert (got["hub"] == 0).all() and (got["auth"] == 0).all()
