@@ -927,6 +927,14 @@ def q_doc_packing(sf_dir: str):
     return textops.pack_documents(_docs_ds(sf_dir), budget_tokens=2048)
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch-seeded global shuffle + round-robin shard
+    assignment (seed 1, 16 shards): one range-partition sort over a
+    splitmix64 key — rerun-stable, SQL-oracle-exact (textops.epoch_shuffle
+    / epoch_shuffle_sql)."""
+    return textops.epoch_shuffle(_docs_ds(sf_dir), seed=1, n_shards=16)
+
+
 def q_doc_winnow(sf_dir: str):
     """Winnowing fingerprints (k=8-gram md5, window w=16) per document."""
     return _docs_ds(sf_dir).map_batches(textops.winnow_batch,
@@ -1363,6 +1371,7 @@ def queries() -> dict:
         "inverted_index": q_inverted_index,
         # --- B: code paths touched / added in round 5 (grade on new code) -
         "hits_scores": q_hits_scores,
+        "epoch_shuffle": q_epoch_shuffle,
         "dup_ngram_spans": q_dup_ngram_spans,
         "resume_rebuild": q_resume_rebuild,
         "crawl_pages": q_crawl_pages,
@@ -1656,6 +1665,8 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
             FROM read_parquet('{exp_links}') GROUP BY target_url""",
         "pagerank": _pagerank_sql(exp_pages, exp_links, n_iter=5),
         "hits_scores": _hits_sql(exp_pages, exp_links, n_iter=5),
+        "epoch_shuffle": textops.epoch_shuffle_sql("documents", seed=1,
+                                                   n_shards=16),
         "degree_stats": _degree_stats_sql(exp_pages, exp_links),
         "link_components": _link_components_sql(exp_pages, exp_links),
         "anchor_profiles": f"""

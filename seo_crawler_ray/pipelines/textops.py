@@ -1003,6 +1003,107 @@ def pack_documents(docs_ds, budget_tokens: int = 2048,
     return ray.data.from_arrow_refs(out_refs)
 
 
+# ------------------------------------------------- epoch shuffle ---------
+# Deterministic epoch-seeded GLOBAL shuffle: the pretraining "reshuffle the
+# corpus every epoch" primitive, done as a distributed range-partition SORT
+# over a splitmix64 mix of (doc_id, seed) instead of random_shuffle — same
+# statistical effect, but rerun-stable, resumable, and expressible as an
+# exact SQL oracle (DuckDB UBIGINT xor/shift + HUGEINT mod-2^64 multiply
+# reproduce the numpy uint64 wraparound arithmetic bit-for-bit).
+
+_SM64_FOLD = 0x9E3779B97F4A7C15
+_SM64_M1 = 0xBF58476D1CE4E5B9
+_SM64_M2 = 0x94D049BB133111EB
+_U64 = 2 ** 64
+
+
+def _splitmix64(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 ids, seed folded in as
+    an odd additive constant (wraparound arithmetic throughout)."""
+    fold = (_SM64_FOLD * (2 * seed + 1)) % _U64
+    z = ids.astype(np.uint64) + np.uint64(fold)
+    z = z ^ (z >> np.uint64(30))
+    z = z * np.uint64(_SM64_M1)
+    z = z ^ (z >> np.uint64(27))
+    z = z * np.uint64(_SM64_M2)
+    z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def epoch_shuffle(docs_ds, seed: int = 1, n_shards: int = 16,
+                  id_col: str = "doc_id"):
+    """Global shuffled ordering + shard assignment for one training epoch:
+    returns a Dataset of (doc_id, pos, shard) where ``pos`` is the
+    document's 0-based position in the seed-shuffled global order and
+    ``shard = pos % n_shards`` (round-robin striping, so every shard sees
+    an unbiased sample of the shuffled stream).
+
+    Distributed shape (mirrors ``pack_documents``): only the id column is
+    read; keys are a per-batch vectorized hash; the global order is ONE
+    range-partition sort on (key, id); positions come from prefix-summing
+    per-block ROW COUNTS on the driver (a handful of ints) and numbering
+    inside each block task — no driver materialization of the table."""
+    import ray
+    import ray.data
+
+    def key_batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({id_col: b[id_col],
+                         "h": pa.array(_splitmix64(ids, seed), pa.uint64())})
+
+    keyed = (docs_ds.select_columns([id_col])
+             .map_batches(key_batch, batch_format="pyarrow")
+             .sort(["h", id_col]).materialize())
+    refs = keyed.to_arrow_refs()
+
+    @ray.remote
+    def block_rows(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([block_rows.remote(r) for r in refs])
+    prefix = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def assign(tbl: pa.Table, base: int) -> pa.Table:
+        pos = base + np.arange(tbl.num_rows, dtype=np.int64)
+        return pa.table({id_col: tbl[id_col],
+                         "pos": pa.array(pos),
+                         "shard": pa.array(pos % n_shards)})
+
+    out_refs = [assign.remote(r, int(p)) for r, p in zip(refs, prefix)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def _sql_mulmod64(z_expr: str, m: int) -> str:
+    """(z * m) mod 2^64 in DuckDB without overflowing signed INT128: split
+    z into 32-bit halves so every partial product stays under 2^97."""
+    return (f"CAST(((CAST({z_expr} AS HUGEINT) % 4294967296) * {m} "
+            f"+ ((CAST({z_expr} AS HUGEINT) // 4294967296) * {m} "
+            f"% 4294967296) * 4294967296) % {_U64} AS UBIGINT)")
+
+
+def epoch_shuffle_sql(docs_rel: str = "documents", seed: int = 1,
+                      n_shards: int = 16, id_col: str = "doc_id") -> str:
+    """DuckDB mirror of ``epoch_shuffle``: the identical splitmix64 chain
+    in UBIGINT arithmetic (split multiply for mod-2^64 wraparound), then
+    row_number over (key, id)."""
+    fold = (_SM64_FOLD * (2 * seed + 1)) % _U64
+    return f"""
+    WITH z0 AS (SELECT {id_col},
+           CAST((CAST({id_col} AS HUGEINT) + {fold}) % {_U64} AS UBIGINT)
+               AS z FROM {docs_rel}),
+    z1 AS (SELECT {id_col}, xor(z, z >> 30) AS z FROM z0),
+    z2 AS (SELECT {id_col}, {_sql_mulmod64("z", _SM64_M1)} AS z FROM z1),
+    z3 AS (SELECT {id_col}, xor(z, z >> 27) AS z FROM z2),
+    z4 AS (SELECT {id_col}, {_sql_mulmod64("z", _SM64_M2)} AS z FROM z3),
+    z5 AS (SELECT {id_col}, xor(z, z >> 31) AS z FROM z4),
+    numbered AS (SELECT {id_col},
+           CAST(row_number() OVER (ORDER BY z, {id_col}) - 1 AS BIGINT)
+               AS pos FROM z5)
+    SELECT {id_col}, pos, CAST(pos % {n_shards} AS BIGINT) AS shard
+    FROM numbered"""
+
+
 def mixture_sample_batch(batch: pa.Table, rates_permille: dict[str, int],
                          default_permille: int = 1000,
                          id_col: str = "doc_id",

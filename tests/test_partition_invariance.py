@@ -56,6 +56,9 @@ DOC_OPS = {
     "dedup_exact": lambda ds: __import__(
         "seo_crawler_ray.pipelines.textops", fromlist=["x"]
     ).dedup_exact(ds),
+    "epoch_shuffle": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.textops", fromlist=["x"]
+    ).epoch_shuffle(ds, seed=3, n_shards=7),
     "stratified_sample": lambda ds: __import__(
         "seo_crawler_ray.pipelines.textops", fromlist=["x"]
     ).stratified_sample(ds, k=9),

@@ -1415,3 +1415,35 @@ def test_dup_ngram_spans_sizing_invariant(ray_session, tmp_path):
     # the forced run actually took the wave path (scratch populated)
     import glob
     assert glob.glob(str(tmp_path / "forced" / "wave-*" / "*.parquet"))
+
+
+def test_epoch_shuffle_matches_reference(ray_session):
+    """Engine order == a straight-line pure-Python splitmix64 reference;
+    output is a permutation; shards stripe round-robin; seeds decorrelate."""
+    import ray.data
+
+    from seo_crawler_ray.pipelines.textops import epoch_shuffle
+
+    def ref_key(x, seed):
+        fold = (0x9E3779B97F4A7C15 * (2 * seed + 1)) % 2 ** 64
+        z = (x + fold) % 2 ** 64
+        z ^= z >> 30
+        z = (z * 0xBF58476D1CE4E5B9) % 2 ** 64
+        z ^= z >> 27
+        z = (z * 0x94D049BB133111EB) % 2 ** 64
+        z ^= z >> 31
+        return z
+
+    ids = list(range(0, 400, 3))
+    df = pd.DataFrame({"doc_id": ids, "text": ["t"] * len(ids)})
+    got = epoch_shuffle(ray.data.from_pandas(df).repartition(9),
+                        seed=5, n_shards=4).to_pandas() \
+        .sort_values("pos").reset_index(drop=True)
+    want_order = [i for i, _ in sorted(
+        ((i, ref_key(i, 5)) for i in ids), key=lambda t: (t[1], t[0]))]
+    assert got["doc_id"].tolist() == want_order
+    assert sorted(got["pos"]) == list(range(len(ids)))      # permutation
+    assert (got["shard"] == got["pos"] % 4).all()
+    other = epoch_shuffle(ray.data.from_pandas(df), seed=6,
+                          n_shards=4).to_pandas().sort_values("pos")
+    assert other["doc_id"].tolist() != want_order           # seed matters
