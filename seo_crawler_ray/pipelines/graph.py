@@ -220,7 +220,18 @@ def pagerank(pages_ds, links_ds, n_iter: int = 5, d_pct: int = 85,
             return pa.table({"dst": batch["dst"],
                              "c": pa.array(c, pa.int64())})
 
+        # per-batch combiner BEFORE the global groupby: Ray's sort-based
+        # aggregate does not map-side combine, so without this the dst
+        # exchange is one row per EDGE; with it, one row per distinct dst
+        # per block (integer sums are order-independent, so the collapse
+        # cannot change the fixed point — pinned by the broadcast-equality
+        # test)
         incoming = with_r.map_batches(contrib, batch_format="pyarrow") \
+            .map_batches(
+                lambda b: (lambda g: pa.table(
+                    {"dst": g["dst"], "c": g["c_sum"]}))(
+                        b.group_by("dst").aggregate([("c", "sum")])),
+                batch_format="pyarrow") \
             .groupby("dst").aggregate(Sum("c", alias_name="in_sum"))
 
         nxt = bucketed_left_attach(node_od, "node", incoming, "dst",
@@ -707,11 +718,18 @@ def hits(pages_ds, links_ds, n_iter: int = 5, scale: int = 10 ** 6,
         with_h = bucketed_left_attach(edges, "src", h, "node", "h",
                                       "h_src", pa.int64(),
                                       n_buckets=n_buckets)
+        # per-batch combiner before the global groupby (same rationale as
+        # pagerank's contribution reduce: one row per distinct dst per
+        # block instead of one per edge)
         a_raw = with_h.map_batches(
             lambda b: pa.table({
                 "dst": b.filter(pc.is_valid(b["h_src"]))["dst"],
-                "raw": b.filter(pc.is_valid(b["h_src"]))["h_src"]}),
+                "raw": b.filter(pc.is_valid(b["h_src"]))["h_src"]})
+            .group_by("dst").aggregate([("raw", "sum")]),
             batch_format="pyarrow") \
+            .map_batches(
+                lambda g: pa.table({"dst": g["dst"], "raw": g["raw_sum"]}),
+                batch_format="pyarrow") \
             .groupby("dst").aggregate(Sum("raw", alias_name="raw"))
         a = _renorm(nodes, a_raw, "dst", "a")
 
@@ -721,8 +739,12 @@ def hits(pages_ds, links_ds, n_iter: int = 5, scale: int = 10 ** 6,
         h_raw = with_a.map_batches(
             lambda b: pa.table({
                 "src": b.filter(pc.is_valid(b["a_dst"]))["src"],
-                "raw": b.filter(pc.is_valid(b["a_dst"]))["a_dst"]}),
+                "raw": b.filter(pc.is_valid(b["a_dst"]))["a_dst"]})
+            .group_by("src").aggregate([("raw", "sum")]),
             batch_format="pyarrow") \
+            .map_batches(
+                lambda g: pa.table({"src": g["src"], "raw": g["raw_sum"]}),
+                batch_format="pyarrow") \
             .groupby("src").aggregate(Sum("raw", alias_name="raw"))
         h = _renorm(nodes, h_raw, "src", "h")
 
