@@ -679,6 +679,16 @@ def hits(pages_ds, links_ds, n_iter: int = 5, scale: int = 10 ** 6,
     # is both-endpoints-crawled — identical to the broadcast path
     edges = _internal_edges(links_ds, pages_ds, n_buckets) \
         .repartition(tb).materialize()
+    if not edges.count():
+        # no internal crawled-to-crawled edges: every raw sum is 0, so the
+        # first normalization zeroes both vectors (broadcast-path parity);
+        # also dodges the schema-less empty-Dataset attach
+        return pages_ds.select_columns(["url"]).map_batches(
+            lambda b: pa.table({
+                "url": b["url"].cast(pa.string()),
+                "hub": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "auth": pa.array(np.zeros(len(b), dtype=np.int64))}),
+            batch_format="pyarrow")
     nodes = pages_ds.select_columns(["url"]).map_batches(
         lambda b: pa.table({"node": b["url"].cast(pa.string())}),
         batch_format="pyarrow").repartition(tb).materialize()

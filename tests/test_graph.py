@@ -269,3 +269,19 @@ def test_hits_no_edges_all_zero(ray_session):
     got = hits(pages, links).to_pandas()
     assert len(got) == 2
     assert (got["hub"] == 0).all() and (got["auth"] == 0).all()
+
+
+def test_hits_distributed_no_edges_all_zero(ray_session):
+    """The co-shuffle path's renormalize must survive an all-empty raw-sum
+    reduce (total 0 -> all-zero scores, not a crash)."""
+    import ray.data
+    from seo_crawler_ray.pipelines.graph import hits
+    pages = ray.data.from_pandas(pd.DataFrame(
+        {"url": [f"https://ex.com/{i}" for i in range(6)]}))
+    links = ray.data.from_pandas(pd.DataFrame(
+        {"source_url": ["https://ex.com/0"],
+         "target_url": ["https://other.com/x"],   # external: filtered out
+         "is_internal": [False]}))
+    got = hits(pages, links, mode="distributed", n_buckets=3).to_pandas()
+    assert len(got) == 6
+    assert (got["hub"] == 0).all() and (got["auth"] == 0).all()
