@@ -935,6 +935,13 @@ def q_epoch_shuffle(sf_dir: str):
     return textops.epoch_shuffle(_docs_ds(sf_dir), seed=1, n_shards=16)
 
 
+def q_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity terciles per language (Wenzek
+    2020): unigram-LM milli-surprisal-per-token scores, NTILE(3)-exact
+    (textops.ppl_buckets / ppl_buckets_sql)."""
+    return textops.ppl_buckets(_docs_ds(sf_dir))
+
+
 def q_doc_winnow(sf_dir: str):
     """Winnowing fingerprints (k=8-gram md5, window w=16) per document."""
     return _docs_ds(sf_dir).map_batches(textops.winnow_batch,
@@ -1372,6 +1379,7 @@ def queries() -> dict:
         # --- B: code paths touched / added in round 5 (grade on new code) -
         "hits_scores": q_hits_scores,
         "epoch_shuffle": q_epoch_shuffle,
+        "ppl_buckets": q_ppl_buckets,
         "dup_ngram_spans": q_dup_ngram_spans,
         "resume_rebuild": q_resume_rebuild,
         "crawl_pages": q_crawl_pages,
@@ -1667,6 +1675,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "hits_scores": _hits_sql(exp_pages, exp_links, n_iter=5),
         "epoch_shuffle": textops.epoch_shuffle_sql("documents", seed=1,
                                                    n_shards=16),
+        "ppl_buckets": textops.ppl_buckets_sql(),
         "degree_stats": _degree_stats_sql(exp_pages, exp_links),
         "link_components": _link_components_sql(exp_pages, exp_links),
         "anchor_profiles": f"""

@@ -1738,10 +1738,12 @@ class _SurprisalScorer:
     flat token map + segment-sum (no per-row Python loop over tokens)."""
 
     def __init__(self, sup_ref, default_sup: int,
-                 id_col: str, text_col: str):
+                 id_col: str, text_col: str,
+                 carry_cols: tuple = ()):
         self.sup = ray_get(sup_ref)
         self.default = default_sup
         self.id_col, self.text_col = id_col, text_col
+        self.carry_cols = tuple(carry_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import itertools
@@ -1760,10 +1762,14 @@ class _SurprisalScorer:
         offs = np.concatenate([[0], np.cumsum(lens)])
         sums = c[offs[1:]] - c[offs[:-1]]
         keep = lens > 0            # zero-token docs drop (SQL join parity)
-        return pa.table({
+        cols = {
             self.id_col: pa.array(np.asarray(ids, np.int64)[keep]),
             "n_tokens": pa.array(lens[keep]),
-            "surprisal": pa.array(sums[keep])})
+            "surprisal": pa.array(sums[keep])}
+        keep_idx = pa.array(np.nonzero(keep)[0], pa.int64())
+        for c in self.carry_cols:
+            cols[c] = batch[c].take(keep_idx)
+        return pa.table(cols)
 
 
 def ray_get(ref_or_val):
@@ -1793,6 +1799,29 @@ def lm_surprisal(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     floor(1e6 * ln(N)) (i.e. count=1). At 100 TB a 1e7-term cap is a few
     hundred MB, stored once per node in the object store.
     """
+    import ray.data
+
+    model = _unigram_surprisal_model(docs_ds, text_col, top_v)
+    if model is None:     # no tokens anywhere: empty typed result (the
+                          # SQL join over an empty token stream is empty)
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "surprisal": pa.array([], pa.int64())}))
+    sup_ref, default = model
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        _SurprisalScorer, batch_format="pyarrow",
+        fn_constructor_kwargs={"sup_ref": sup_ref, "default_sup": default,
+                               "id_col": id_col, "text_col": text_col},
+        concurrency=(1, 8))
+
+
+def _unigram_surprisal_model(docs_ds, text_col: str, top_v: int | None):
+    """Pass 1 of the CCNet-shaped scoring ops: global unigram counts
+    (vocabulary-sized reduce) -> broadcast term->integer-surprisal map.
+    Returns (sup_ref, default_surprisal) or None for a token-free corpus.
+    Surprisals use SCALAR ``math.log`` — see ``lm_surprisal``'s contract
+    note on libm vs numpy SIMD log."""
     import math
     import ray
     from ray.data.aggregate import Sum
@@ -1803,24 +1832,15 @@ def lm_surprisal(docs_ds, id_col: str = "doc_id", text_col: str = "text",
              .groupby("term").aggregate(Sum("n", alias_name="n"))
              .to_pandas())                       # vocabulary-sized
     n_total = int(vocab["n"].sum())
-    if n_total == 0:      # no tokens anywhere: empty typed result (the
-        import ray.data   # SQL join over an empty token stream is empty)
-        return ray.data.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
-            "n_tokens": pa.array([], pa.int64()),
-            "surprisal": pa.array([], pa.int64())}))
+    if n_total == 0:
+        return None
     if top_v is not None and len(vocab) > top_v:
         vocab = (vocab.sort_values(["n", "term"],
                                    ascending=[False, True]).head(top_v))
     sup = {t: int(math.floor(1e6 * math.log(n_total / c)))
            for t, c in zip(vocab["term"], vocab["n"])}
     default = int(math.floor(1e6 * math.log(n_total)))
-    sup_ref = ray.put(sup)
-    return docs_ds.select_columns([id_col, text_col]).map_batches(
-        _SurprisalScorer, batch_format="pyarrow",
-        fn_constructor_kwargs={"sup_ref": sup_ref, "default_sup": default,
-                               "id_col": id_col, "text_col": text_col},
-        concurrency=(1, 8))
+    return ray.put(sup), default
 
 
 def lm_surprisal_sql() -> str:
@@ -1838,6 +1858,150 @@ def lm_surprisal_sql() -> str:
     SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(s.sup) AS BIGINT) AS surprisal
     FROM tok JOIN s USING (term) GROUP BY tok.doc_id"""
+
+
+# ------------------------------------- CCNet perplexity buckets ----------
+def ppl_buckets(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                lang_col: str = "lang", top_v: int | None = None):
+    """CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020):
+    score every document by unigram-LM surprisal-per-token and split each
+    language into perplexity terciles — 'head' = most-fluent third. The
+    standard pretraining move is to keep head+middle and drop or
+    down-sample tail; this op emits the assignment so any policy can
+    filter on it.
+
+    Exact contract (SQL NTILE parity): per-doc score = integer
+    milli-surprisal-per-token = (surprisal * 1000) // n_tokens (all
+    positive, so Arrow/numpy truncation == DuckDB // floor); within each
+    lang, docs are totally ordered by (score, id) and NTILE(3)-split
+    (larger groups first). Zero-token docs are absent, matching the SQL
+    token join.
+
+    Distributed shape (mirrors ``epoch_shuffle``): the unigram model is a
+    vocabulary-sized reduce broadcast once per actor; scoring is
+    embarrassingly parallel; the only exchange is ONE range-partition
+    sort on (lang, score, id) of a 3-narrow-column table. Per-lang ranks
+    come from run-length (lang, count) block partials — the driver
+    prefix-sums only per-block segment counts (blocks x langs ints),
+    never rows. Tercile thresholds are O(#langs). Returns a Dataset of
+    (doc_id, lang, score, ppl_bucket)."""
+    import ray
+    import ray.data
+
+    def _empty():
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            lang_col: pa.array([], pa.string()),
+            "score": pa.array([], pa.int64()),
+            "ppl_bucket": pa.array([], pa.string())}))
+
+    model = _unigram_surprisal_model(docs_ds, text_col, top_v)
+    if model is None:
+        return _empty()
+    sup_ref, default = model
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        surp = b["surprisal"].to_numpy(zero_copy_only=False)
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: b[id_col], lang_col: b[lang_col],
+                         "score": pa.array((surp * 1000) // nt, pa.int64())})
+
+    scored = (docs_ds.select_columns([id_col, text_col, lang_col])
+              .map_batches(
+                  _SurprisalScorer, batch_format="pyarrow",
+                  fn_constructor_kwargs={
+                      "sup_ref": sup_ref, "default_sup": default,
+                      "id_col": id_col, "text_col": text_col,
+                      "carry_cols": (lang_col,)},
+                  concurrency=(1, 8))
+              .map_batches(score_batch, batch_format="pyarrow"))
+
+    keyed = scored.sort([lang_col, "score", id_col]).materialize()
+    refs = keyed.to_arrow_refs()
+
+    @ray.remote
+    def lang_rle(tbl: pa.Table) -> list:
+        """Run-length (lang, count) segments of one sorted block."""
+        arr = np.asarray(tbl[lang_col].to_pylist(), dtype=object)
+        if arr.size == 0:
+            return []
+        change = np.nonzero(arr[1:] != arr[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [arr.size]])
+        return [(str(arr[s]), int(e - s)) for s, e in zip(starts, ends)]
+
+    rles = ray.get([lang_rle.remote(r) for r in refs])
+    totals: dict[str, int] = {}
+    for rle in rles:
+        for lang, c in rle:
+            totals[lang] = totals.get(lang, 0) + c
+    if not totals:
+        return _empty()
+    # NTILE(3) group sizes: as even as possible, larger groups first
+    cuts = {}
+    for lang, n in totals.items():
+        base, rem = divmod(n, 3)
+        s1 = base + (1 if rem > 0 else 0)
+        s2 = base + (1 if rem > 1 else 0)
+        cuts[lang] = (s1, s1 + s2)
+    running: dict[str, int] = {}
+    bases_per_block = []
+    for rle in rles:
+        bases = []
+        for lang, c in rle:
+            bases.append(running.get(lang, 0))
+            running[lang] = running.get(lang, 0) + c
+        bases_per_block.append(bases)
+
+    @ray.remote
+    def assign(tbl: pa.Table, rle: list, bases: list, cuts: dict
+               ) -> pa.Table:
+        n = tbl.num_rows
+        bucket = np.empty(n, dtype=object)
+        off = 0
+        for (lang, c), base in zip(rle, bases):
+            rr = base + np.arange(c, dtype=np.int64)
+            s1, s12 = cuts[lang]
+            bucket[off:off + c] = np.where(
+                rr < s1, "head", np.where(rr < s12, "middle", "tail"))
+            off += c
+        return pa.table({id_col: tbl[id_col], lang_col: tbl[lang_col],
+                         "score": tbl["score"],
+                         "ppl_bucket": pa.array(bucket.tolist(),
+                                                pa.string())})
+
+    out_refs = [assign.remote(r, rle, b, cuts)
+                for r, rle, b in zip(refs, rles, bases_per_block)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def ppl_buckets_sql() -> str:
+    """DuckDB mirror of ``ppl_buckets``: the lm_surprisal token model,
+    integer milli-surprisal-per-token, NTILE(3) over (score, doc_id)
+    per lang."""
+    return """
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                            AS term
+                 FROM documents),
+    cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM tok),
+    s AS (SELECT term,
+                 CAST(floor(1000000 * ln(CAST(n AS DOUBLE) / c)) AS BIGINT)
+                     AS sup
+          FROM cnt, tot),
+    per_doc AS (SELECT tok.doc_id, count(*) AS n_tokens,
+                       sum(s.sup) AS surp
+                FROM tok JOIN s USING (term) GROUP BY tok.doc_id),
+    scored AS (SELECT p.doc_id, d.lang,
+                      CAST((p.surp * 1000) // p.n_tokens AS BIGINT)
+                          AS score
+               FROM per_doc p JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, score,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY score, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM scored"""
 
 
 # ------------------------------------------------- TF-IDF top terms ------

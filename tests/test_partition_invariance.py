@@ -86,6 +86,9 @@ DOC_OPS = {
     "lm_surprisal": lambda ds: __import__(
         "seo_crawler_ray.pipelines.textops", fromlist=["x"]
     ).lm_surprisal(ds),
+    "ppl_buckets": lambda ds: __import__(
+        "seo_crawler_ray.pipelines.textops", fromlist=["x"]
+    ).ppl_buckets(ds),
     "validate_documents": lambda ds: __import__(
         "seo_crawler_ray.pipelines.textops", fromlist=["x"]
     ).validate_documents(ds),

@@ -1447,3 +1447,58 @@ def test_epoch_shuffle_matches_reference(ray_session):
     other = epoch_shuffle(ray.data.from_pandas(df), seed=6,
                           n_shards=4).to_pandas().sort_values("pos")
     assert other["doc_id"].tolist() != want_order           # seed matters
+
+
+def test_ppl_buckets_matches_reference(ray_session):
+    """CCNet terciles == a straight-line local reference: same unigram
+    surprisal model, score = (surprisal * 1000) // n_tokens, NTILE(3)
+    per lang over (score, doc_id) with larger groups first; zero-token
+    docs absent; multi-block layout irrelevant."""
+    import math
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from seo_crawler_ray.pipelines.textops import ppl_buckets
+
+    rng = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(61):                       # 61 docs over 3 langs:
+        lang = ["en", "fr", "de"][i % 3]      # 21/20/20 -> NTILE sizes
+        text = " ".join(rng.choice(words, rng.randint(3, 30)))
+        rows.append({"doc_id": i, "text": text, "lang": lang})
+    rows.append({"doc_id": 61, "text": "???", "lang": "en"})  # 0 tokens
+    pdf = pd.DataFrame(rows)
+
+    ctr: Counter = Counter()
+    toks = {}
+    for did, t in zip(pdf["doc_id"], pdf["text"]):
+        toks[did] = re.findall(r"[a-z0-9]+", t.lower())
+        ctr.update(toks[did])
+    n = sum(ctr.values())
+    sup = {w: int(math.floor(1e6 * math.log(n / c))) for w, c in ctr.items()}
+    want = {}
+    for lang in ("en", "fr", "de"):
+        scored = sorted(
+            (( (sum(sup[w] for w in toks[did]) * 1000) // len(toks[did]),
+               did)
+             for did in pdf.loc[pdf["lang"] == lang, "doc_id"]
+             if len(toks[did]) > 0))
+        m = len(scored)
+        base, rem = divmod(m, 3)
+        s1 = base + (1 if rem > 0 else 0)
+        s12 = s1 + base + (1 if rem > 1 else 0)
+        for r, (score, did) in enumerate(scored):
+            want[did] = (score,
+                         "head" if r < s1 else
+                         "middle" if r < s12 else "tail")
+
+    got = ppl_buckets(
+        ray.data.from_pandas(pdf.sample(frac=1, random_state=3))
+        .repartition(7)).to_pandas()
+    assert len(got) == len(want)              # doc 61 (0 tokens) absent
+    for _, row in got.iterrows():
+        assert want[row["doc_id"]] == (row["score"], row["ppl_bucket"]), \
+            row["doc_id"]
