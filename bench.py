@@ -118,6 +118,7 @@ def run_bench() -> dict:
     timed("dsir_weights",
           lambda: textops.dsir_weights(
               docs, target_sources=("src0", "src1", "src2")).count())
+    timed("ppl_buckets", lambda: textops.ppl_buckets(docs).count())
     emb = queries._emb_ds(SF_DIR)
     timed("ann_topk", lambda: len(embedops.ann_topk(emb)))
     ev = queries._events_ds(SF_DIR)
