@@ -1502,3 +1502,28 @@ def test_ppl_buckets_matches_reference(ray_session):
     for _, row in got.iterrows():
         assert want[row["doc_id"]] == (row["score"], row["ppl_bucket"]), \
             row["doc_id"]
+
+
+def test_ppl_buckets_tiny_languages_match_duckdb_ntile(ray_session):
+    """Languages with fewer than 3 docs: NTILE(3) short groups must match
+    DuckDB exactly (1 doc -> head; 2 docs -> head, middle)."""
+    import duckdb
+    import ray.data
+
+    from seo_crawler_ray.pipelines.textops import ppl_buckets, \
+        ppl_buckets_sql
+
+    pdf = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["alpha beta", "beta gamma delta", "alpha alpha",
+                 "delta", "epsilon zeta eta", "zeta"],
+        "lang": ["solo", "duo", "duo", "trio", "trio", "trio"]})
+    got = (ppl_buckets(ray.data.from_pandas(pdf).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (con.execute(ppl_buckets_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
