@@ -249,23 +249,22 @@ def pagerank(pages_ds, links_ds, n_iter: int = 5, d_pct: int = 85,
         batch_format="pyarrow")
 
 
-def pagerank_sql(exp_pages: str, exp_links: str, n_iter: int = 5,
-                 d_pct: int = 85, scale: int = 10 ** 12) -> str:
-    """Unrolled-CTE DuckDB mirror of ``pagerank`` — integer-exact, so the
-    driver value-hash matches. Generated, not handwritten, so the
-    iteration count and constants stay in lockstep with the operator."""
+def _pagerank_cte_sql(nodes_sql: str, raw_edges_sql: str, n_iter: int,
+                      d_pct: int, scale: int, out_node: str = "url") -> str:
+    """Unrolled-CTE DuckDB PageRank core over arbitrary node/edge
+    relations: ``nodes_sql`` must yield one ``node`` column (distinct),
+    ``raw_edges_sql`` a ``(src, dst)`` relation (self-loop drop, dedup
+    and the crawled-target semijoin are applied here, identically for
+    the page-level and host-level graphs)."""
     # AS MATERIALIZED: each r{i} is referenced 3x per level (contribution
     # join, dangling-sum subquery, carry-forward); DuckDB's default CTE
     # inlining would re-expand the whole prefix 3^n_iter times.
     head = f"""
-    WITH nodes AS MATERIALIZED (
-        SELECT url AS node FROM read_parquet('{exp_pages}')),
+    WITH nodes AS MATERIALIZED ({nodes_sql}),
     nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
     e0 AS MATERIALIZED (
-        SELECT DISTINCT source_url AS src, target_url AS dst
-        FROM read_parquet('{exp_links}')
-        WHERE is_internal AND source_url <> target_url
-          AND target_url IN (SELECT node FROM nodes)),
+        SELECT DISTINCT src, dst FROM ({raw_edges_sql})
+        WHERE src <> dst AND dst IN (SELECT node FROM nodes)),
     odt AS MATERIALIZED (
         SELECT src, CAST(count(*) AS BIGINT) AS od FROM e0 GROUP BY src),
     nd AS MATERIALIZED (
@@ -292,8 +291,20 @@ def pagerank_sql(exp_pages: str, exp_links: str, n_iter: int = 5,
                  + COALESCE(c{q}.s, 0) AS BIGINT) AS r
         FROM nd LEFT JOIN c{q} ON nd.node = c{q}.node)""")
     parts.append(f"""
-    SELECT node AS url, r AS pr FROM r{n_iter}""")
+    SELECT node AS {out_node}, r AS pr FROM r{n_iter}""")
     return "".join(parts)
+
+
+def pagerank_sql(exp_pages: str, exp_links: str, n_iter: int = 5,
+                 d_pct: int = 85, scale: int = 10 ** 12) -> str:
+    """Unrolled-CTE DuckDB mirror of ``pagerank`` — integer-exact, so the
+    driver value-hash matches. Generated, not handwritten, so the
+    iteration count and constants stay in lockstep with the operator."""
+    return _pagerank_cte_sql(
+        f"SELECT url AS node FROM read_parquet('{exp_pages}')",
+        f"""SELECT source_url AS src, target_url AS dst
+            FROM read_parquet('{exp_links}') WHERE is_internal""",
+        n_iter, d_pct, scale)
 
 
 # ----------------------------------------------- degree distributions ----
@@ -811,3 +822,81 @@ def hits_sql(exp_pages: str, exp_links: str, n_iter: int = 5,
     SELECT h{n_iter}.node AS url, h{n_iter}.h AS hub, ah{n_iter}.a AS auth
     FROM h{n_iter} JOIN ah{n_iter} ON h{n_iter}.node = ah{n_iter}.node""")
     return "".join(parts)
+
+
+# ------------------------------------------------ host-level PageRank ----
+def _hosts(col) -> pa.Array:
+    """Vectorized host extraction, parity-templated with the SQL side's
+    ``regexp_extract(url, analysis.HOST_RE_SQL, 1)``: both run RE2 on the
+    same pattern (pyarrow needs a named group, so the single source
+    pattern gets ``?P<h>`` injected), both yield '' on no-match."""
+    from .analysis import HOST_RE_SQL
+    pat = HOST_RE_SQL.replace("(", "(?P<h>", 1)
+    hit = pc.extract_regex(pc.cast(col, pa.string()), pat)
+    return pc.fill_null(pc.struct_field(hit, "h"), "")
+
+
+def host_pagerank(pages_ds, links_ds, n_iter: int = 5, d_pct: int = 85,
+                  scale: int = 10 ** 12, n_buckets: int = 64,
+                  mode: str = "auto",
+                  broadcast_node_limit: int = BROADCAST_NODE_LIMIT):
+    """Host-graph PageRank — the host-level rank web-scale pipelines
+    publish beside the page graph (Common Crawl's host-level ranks).
+    Nodes are DISTINCT hosts of crawled pages; edges are DISTINCT
+    cross-host (host(src), host(dst)) pairs over ALL extracted links —
+    at host granularity intra-host links become self-loops and drop, and
+    external links that resolve to a crawled host join the graph (the
+    page-level operator, by contrast, keeps internal links only:
+    reference link analyses stop at per-page tables,
+    src/link_manager.py:193-202; the host rollup is the web-scale
+    extension). Delegates to the page-level fixed-point integer
+    iteration, so the int64 contract, broadcast/distributed auto-switch
+    and unrolled-CTE oracle generator are all shared."""
+
+    def page_hosts(batch: pa.Table) -> pa.Table:
+        # per-batch distinct BEFORE the groupby: the exchange is then one
+        # row per (host, block), not one per page
+        return pa.table({"url": _hosts(batch["url"])}) \
+            .group_by("url").aggregate([])
+
+    # host-domain-sized bounded reduce, materialized once: pagerank()
+    # consumes the node set two to three times (count + edge semijoin +
+    # od attach) and a lazy groupby would re-shuffle per consumer
+    host_nodes = (pages_ds.select_columns(["url"])
+                  .map_batches(page_hosts, batch_format="pyarrow")
+                  .groupby("url").count()
+                  .map_batches(lambda b: b.select(["url"]),
+                               batch_format="pyarrow")
+                  .materialize())
+
+    def link_hosts(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source_url": _hosts(batch["source_url"]),
+                      "target_url": _hosts(batch["target_url"])})
+        t = t.filter(pc.invert(pc.equal(t["source_url"],
+                                        t["target_url"])))
+        t = t.group_by(["source_url", "target_url"]).aggregate([])
+        return t.append_column(
+            "is_internal", pa.array(np.ones(len(t), dtype=bool)))
+
+    host_links = links_ds.select_columns(["source_url", "target_url"]) \
+        .map_batches(link_hosts, batch_format="pyarrow")
+
+    pr = pagerank(host_nodes, host_links, n_iter=n_iter, d_pct=d_pct,
+                  scale=scale, n_buckets=n_buckets, mode=mode,
+                  broadcast_node_limit=broadcast_node_limit)
+    return pr.map_batches(
+        lambda b: pa.table({"host": b["url"], "pr": b["pr"]}),
+        batch_format="pyarrow")
+
+
+def host_pagerank_sql(exp_pages: str, exp_links: str, n_iter: int = 5,
+                      d_pct: int = 85, scale: int = 10 ** 12) -> str:
+    """DuckDB mirror of ``host_pagerank`` via the shared CTE generator."""
+    from .analysis import HOST_RE_SQL
+    return _pagerank_cte_sql(
+        f"""SELECT DISTINCT regexp_extract(url, '{HOST_RE_SQL}', 1) AS node
+            FROM read_parquet('{exp_pages}')""",
+        f"""SELECT regexp_extract(source_url, '{HOST_RE_SQL}', 1) AS src,
+                   regexp_extract(target_url, '{HOST_RE_SQL}', 1) AS dst
+            FROM read_parquet('{exp_links}')""",
+        n_iter, d_pct, scale, out_node="host")

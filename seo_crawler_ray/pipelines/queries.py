@@ -33,6 +33,7 @@ from . import analysis, arrowutil, embedops, events, textops
 from .graph import degree_stats_sql as _degree_stats_sql
 from .graph import hits_sql as _hits_sql
 from .graph import link_components_sql as _link_components_sql
+from .graph import host_pagerank_sql as _host_pagerank_sql
 from .graph import pagerank_sql as _pagerank_sql
 
 SF01 = "/root/testdata/sf0.01"
@@ -197,6 +198,29 @@ def q_hits_scores(sf_dir: str):
     value-hash-matches exactly (graph.hits / graph.hits_sql)."""
     from .graph import hits
     return hits(_pages_ds(sf_dir), _links_ds(sf_dir), n_iter=5)
+
+
+def q_host_pagerank(sf_dir: str):
+    """Host-graph PageRank (the host-level rank Common Crawl publishes
+    beside its page graph): distinct crawled hosts as nodes, distinct
+    cross-host link pairs as edges — same fixed-point integer iteration,
+    auto-switch and generated unrolled-CTE oracle as ``pagerank``
+    (graph.host_pagerank)."""
+    from .graph import host_pagerank
+    return host_pagerank(_pages_ds(sf_dir), _links_ds(sf_dir), n_iter=5)
+
+
+def q_c4_filters(sf_dir: str):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) over the corpus
+    page text: per-line terminal-punct / >=3-words / javascript filters,
+    doc-level lorem-ipsum / curly-brace / >=3-kept-lines gates; the
+    surviving lines are pinned end-to-end by md5
+    (textops.c4_filters)."""
+    cdir = _corpus(sf_dir)
+    from ..sources.parquet_io import read_parquet_rowgroups
+    ds = read_parquet_rowgroups(os.path.join(cdir, "pages.parquet"),
+                                columns=["url", "text"])
+    return textops.c4_filters(ds)
 
 
 def q_degree_stats(sf_dir: str):
@@ -1380,6 +1404,8 @@ def queries() -> dict:
         "hits_scores": q_hits_scores,
         "epoch_shuffle": q_epoch_shuffle,
         "ppl_buckets": q_ppl_buckets,
+        "host_pagerank": q_host_pagerank,
+        "c4_filters": q_c4_filters,
         "dup_ngram_spans": q_dup_ngram_spans,
         "resume_rebuild": q_resume_rebuild,
         "crawl_pages": q_crawl_pages,
@@ -1672,6 +1698,8 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
                    string_agg(source_url, '|' ORDER BY source_seq) AS linked_from_joined
             FROM read_parquet('{exp_links}') GROUP BY target_url""",
         "pagerank": _pagerank_sql(exp_pages, exp_links, n_iter=5),
+        "host_pagerank": _host_pagerank_sql(exp_pages, exp_links, n_iter=5),
+        "c4_filters": textops.c4_filters_sql(_cp("pages.parquet")),
         "hits_scores": _hits_sql(exp_pages, exp_links, n_iter=5),
         "epoch_shuffle": textops.epoch_shuffle_sql("documents", seed=1,
                                                    n_shards=16),

@@ -3242,3 +3242,75 @@ def lang_source_pivot_sql(langs: tuple[str, ...] = LANGS) -> str:
     SELECT source,
            {cols}
     FROM documents GROUP BY source"""
+
+
+# ---------------------------------------- C4 line/doc quality filters ----
+# C4 cleaning heuristics (Raffel et al. 2020, JMLR 21(140) §2.2 "C4"),
+# over the crawl corpus page text: keep a LINE iff it ends in a terminal
+# punctuation mark ('.', '!', '?', '"'), has >= 3 space-separated words,
+# and doesn't mention 'javascript' (case-folded); keep the DOC iff >= 3
+# lines survive, no 'lorem ipsum' (case-folded) and no '{' anywhere.
+# Pure per-doc map — no shuffle, scales with corpus bytes. The kept-line
+# reconstruction is pinned end-to-end by an md5 of the surviving lines
+# (newline-rejoined), value-hash-exact against the DuckDB lambda oracle.
+_C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_filter_batch(batch: pa.Table) -> pa.Table:
+    import hashlib
+
+    batch = batch.filter(pc.not_equal(batch["text"], ""))
+    urls = batch["url"].to_pylist()
+    texts = batch["text"].to_pylist()
+    n_lines = np.empty(len(texts), dtype=np.int64)
+    n_kept = np.empty(len(texts), dtype=np.int64)
+    keep = np.empty(len(texts), dtype=bool)
+    md5s: list[str] = []
+    for i, text in enumerate(texts):
+        lines = text.split("\n")
+        kept = [
+            ln for ln in lines
+            if ln.endswith(_C4_TERMINAL)
+            and sum(1 for w in ln.split(" ") if w) >= 3
+            and "javascript" not in ln.lower()
+        ]
+        n_lines[i] = len(lines)
+        n_kept[i] = len(kept)
+        keep[i] = (len(kept) >= 3 and "lorem ipsum" not in text.lower()
+                   and "{" not in text)
+        md5s.append(hashlib.md5(
+            "\n".join(kept).encode("utf-8")).hexdigest())
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "n_lines": pa.array(n_lines),
+        "n_kept": pa.array(n_kept),
+        "keep": pa.array(keep),
+        "kept_md5": pa.array(md5s, pa.string()),
+    })
+
+
+def c4_filters(pages_text_ds):
+    """(url, n_lines, n_kept, keep, kept_md5) per page with non-empty
+    extracted text — see the block comment above for the rule set."""
+    return pages_text_ds.select_columns(["url", "text"]) \
+        .map_batches(c4_filter_batch, batch_format="pyarrow")
+
+
+def c4_filters_sql(pages_path: str) -> str:
+    return f"""
+    WITH t AS (SELECT url, text, string_split(text, chr(10)) AS ls
+               FROM read_parquet('{pages_path}') WHERE text <> ''),
+    k AS (SELECT url, text, len(ls) AS n_lines,
+                 list_filter(ls, l -> (ends_with(l, '.') OR ends_with(l, '!')
+                     OR ends_with(l, '?') OR ends_with(l, '"'))
+                     AND len(list_filter(string_split(l, ' '),
+                                         w -> w <> '')) >= 3
+                     AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM t)
+    SELECT url, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{{')) AS keep,
+           md5(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_md5
+    FROM k"""
+    # COALESCE: DuckDB array_to_string([]) is NULL, Python joins to ''

@@ -285,3 +285,57 @@ def test_hits_distributed_no_edges_all_zero(ray_session):
     got = hits(pages, links, mode="distributed", n_buckets=3).to_pandas()
     assert len(got) == 6
     assert (got["hub"] == 0).all() and (got["auth"] == 0).all()
+
+
+# --------------------------------------------------- host-level PageRank --
+@pytest.fixture(scope="module")
+def host_graph(ray_session):
+    import ray.data
+    rng = np.random.RandomState(11)
+    hosts = [f"site{i}.example" for i in range(6)]
+    nodes = [f"https://{hosts[i % 6]}/p{i}" for i in range(90)]
+    rows = []
+    for _ in range(500):
+        s = nodes[rng.randint(90)]
+        t = nodes[rng.randint(90)]
+        # mix internal and external links: host_pagerank must use BOTH
+        rows.append((s, t, rng.rand() < 0.5))
+    # noise: unparseable URL, link to an uncrawled host, intra-host link
+    # (self-loop at host granularity)
+    rows += [("not-a-url", nodes[0], True),
+             (nodes[1], "https://elsewhere.example/x", False),
+             (nodes[2], nodes[2], True)]
+    links = pd.DataFrame(rows, columns=["source_url", "target_url",
+                                        "is_internal"])
+    pages = pd.DataFrame({"url": nodes})
+    return (ray.data.from_pandas(pages).repartition(4),
+            ray.data.from_pandas(links).repartition(8),
+            pages, links)
+
+
+def test_host_pagerank_sql_matches_operator(host_graph, tmp_path):
+    """Broadcast path vs the generated host-level DuckDB oracle."""
+    import duckdb
+    from seo_crawler_ray.pipelines.graph import (host_pagerank,
+                                                 host_pagerank_sql)
+    pages_ds, links_ds, pages, links = host_graph
+    pages.to_parquet(tmp_path / "pages.parquet")
+    links.to_parquet(tmp_path / "links.parquet")
+    sql = host_pagerank_sql(str(tmp_path / "pages.parquet"),
+                            str(tmp_path / "links.parquet"), n_iter=5)
+    oracle = duckdb.sql(sql).df()
+    got = host_pagerank(pages_ds, links_ds, n_iter=5).to_pandas()
+    assert len(got) == 6
+    merged = got.merge(oracle, on="host", suffixes=("", "_sql"))
+    assert len(merged) == 6
+    assert (merged["pr"] == merged["pr_sql"]).all()
+
+
+def test_host_pagerank_distributed_path_identical(host_graph):
+    from seo_crawler_ray.pipelines.graph import host_pagerank
+    pages_ds, links_ds, _, _ = host_graph
+    bc = host_pagerank(pages_ds, links_ds, n_iter=3).to_pandas()
+    di = host_pagerank(pages_ds, links_ds, n_iter=3,
+                       mode="distributed", n_buckets=8).to_pandas()
+    assert (dict(zip(bc["host"], bc["pr"]))
+            == dict(zip(di["host"], di["pr"])))

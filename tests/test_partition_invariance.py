@@ -249,3 +249,47 @@ def test_minhash_index_hot_key_cap_partition_invariant(ray_session, docs_pdf,
     olds = set(a["old"].astype(int))
     assert 0 in olds
     assert not olds & set(range(1001, 1008))
+
+
+def test_host_pagerank_partition_invariant(ray_session):
+    """Two-input op: vary BOTH the pages and links block layouts, on the
+    distributed (co-shuffle) path where layout could plausibly leak."""
+    import ray.data
+    from seo_crawler_ray.pipelines.graph import host_pagerank
+    rng = np.random.RandomState(13)
+    hosts = [f"h{i}.example" for i in range(7)]
+    pages = pd.DataFrame(
+        {"url": [f"https://{hosts[i % 7]}/p{i}" for i in range(120)]})
+    links = pd.DataFrame({
+        "source_url": [f"https://{hosts[rng.randint(7)]}/p{rng.randint(120)}"
+                       for _ in range(600)],
+        "target_url": [f"https://{hosts[rng.randint(7)]}/p{rng.randint(120)}"
+                       for _ in range(600)],
+        "is_internal": rng.rand(600) < 0.5})
+
+    def run(pp, lp, **kw):
+        return _sorted(host_pagerank(
+            ray.data.from_pandas(pp).repartition(kw.pop("np_")),
+            ray.data.from_pandas(lp).repartition(kw.pop("nl_")),
+            n_iter=3, **kw).to_pandas())
+
+    a = run(pages, links, np_=1, nl_=1, mode="distributed", n_buckets=4)
+    b = run(pages.sample(frac=1, random_state=5),
+            links.sample(frac=1, random_state=6),
+            np_=9, nl_=17, mode="distributed", n_buckets=4)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_c4_filters_partition_invariant(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import c4_filters
+    rng = np.random.RandomState(17)
+    texts = ["\n".join(
+        " ".join(rng.choice(["alpha", "beta", "gamma", "{", "javascript"],
+                            rng.randint(1, 8)))
+        + rng.choice([".", "!", "?", '"', ""])
+        for _ in range(rng.randint(1, 12))) for _ in range(150)]
+    pdf = pd.DataFrame({"url": [f"https://x.example/p{i}"
+                                for i in range(150)], "text": texts})
+    a, b = _two_layouts(pdf, c4_filters)
+    pd.testing.assert_frame_equal(a, b)

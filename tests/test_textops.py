@@ -1527,3 +1527,41 @@ def test_ppl_buckets_tiny_languages_match_duckdb_ntile(ray_session):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False)
+
+
+# --------------------------------------------- C4 line/doc quality filters
+def test_c4_filters_matches_sql(ray_session, tmp_path):
+    """The per-line keep predicate, doc gates and kept-line md5 must match
+    the DuckDB lambda oracle byte-for-byte, including the traps: trailing
+    newline (empty last line), multi-space word counting, case-folded
+    javascript/lorem mentions, terminal-quote lines, empty kept set."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import c4_filters, c4_filters_sql
+
+    texts = [
+        "Good line one here.\nAnother fine line!\nIs this kept?\nyes it is.",
+        "Short.\ntwo words.\nends with quote here\"\nx y z.",   # quote line
+        "uses JavaScript heavily here.\nok line number two.\nthird good line.\nfourth good line.",
+        "lorem ipsum dolor sit amet.\nline two is fine.\nline three is fine.\nline four is fine.",
+        "has a { brace.\nline two is fine.\nline three is fine.\nline four is fine.",
+        "trailing newline line one.\nsecond line kept too.\nthird line kept.\n",
+        "many   spaces   between   words.\nno terminal punct on this line\nshort.\n.",
+        "",                                     # dropped by text <> ''
+        "no newlines at all just one long line without punct",
+    ]
+    pdf = pd.DataFrame({
+        "url": [f"https://h.example/p{i}" for i in range(len(texts))],
+        "text": texts})
+    pdf.to_parquet(tmp_path / "pages.parquet")
+    got = c4_filters(ray.data.from_pandas(pdf).repartition(3)).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = duckdb.sql(c4_filters_sql(str(tmp_path / "pages.parquet"))).df() \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == len(texts) - 1          # empty text dropped
+    by = dict(zip(got["url"], got["keep"]))
+    assert by["https://h.example/p0"]          # clean doc kept
+    assert not by["https://h.example/p3"]      # lorem ipsum
+    assert not by["https://h.example/p4"]      # curly brace
