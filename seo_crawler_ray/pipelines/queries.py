@@ -223,6 +223,13 @@ def q_c4_filters(sf_dir: str):
     return textops.c4_filters(ds)
 
 
+def q_pmi_bigrams(sf_dir: str):
+    """Top-k PMI bigram collocations (Church & Hanks 1990) over the
+    documents table — domain-sized shuffle with per-batch combiners,
+    integerized scalar-libm log contract (textops.pmi_bigrams)."""
+    return textops.pmi_bigrams(_docs_ds(sf_dir), min_count=5, k=100)
+
+
 def q_degree_stats(sf_dir: str):
     """In/out degree distribution of the internal link graph."""
     from .graph import degree_stats
@@ -1406,6 +1413,7 @@ def queries() -> dict:
         "ppl_buckets": q_ppl_buckets,
         "host_pagerank": q_host_pagerank,
         "c4_filters": q_c4_filters,
+        "pmi_bigrams": q_pmi_bigrams,
         "dup_ngram_spans": q_dup_ngram_spans,
         "resume_rebuild": q_resume_rebuild,
         "crawl_pages": q_crawl_pages,
@@ -1700,6 +1708,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "pagerank": _pagerank_sql(exp_pages, exp_links, n_iter=5),
         "host_pagerank": _host_pagerank_sql(exp_pages, exp_links, n_iter=5),
         "c4_filters": textops.c4_filters_sql(_cp("pages.parquet")),
+        "pmi_bigrams": textops.pmi_bigrams_sql(min_count=5, k=100),
         "hits_scores": _hits_sql(exp_pages, exp_links, n_iter=5),
         "epoch_shuffle": textops.epoch_shuffle_sql("documents", seed=1,
                                                    n_shards=16),

@@ -3314,3 +3314,105 @@ def c4_filters_sql(pages_path: str) -> str:
            md5(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_md5
     FROM k"""
     # COALESCE: DuckDB array_to_string([]) is NULL, Python joins to ''
+
+
+# --------------------------------------- PMI bigram collocations ---------
+# Church & Hanks 1990 pointwise mutual information over adjacent token
+# pairs: pmi(w1,w2) = ln( p(w1,w2) / (p(w1) p(w2)) ) with p(w1,w2) =
+# n12/B, p(w) = n/N. Integerized as floor(scale*v + 0.5) with v computed
+# in the EXACT operation order written in the oracle SQL (scalar libm
+# math.log, left-associated additions — numpy's SIMD log can differ by
+# 1 ulp, see the lm_surprisal contract). Shuffle is domain-sized (one
+# partial row per distinct unigram/bigram per block); the final PMI pass
+# is a bounded driver reduce over the min_count-filtered candidate set.
+_PMI_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def pmi_bigrams(docs_ds, min_count: int = 5, k: int = 100,
+                scale: int = 10 ** 6):
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uni: dict = {}
+        big: dict = {}
+        for text in batch["text"].to_pylist():
+            toks = _PMI_TOKEN_RE.findall(text.lower())
+            for w in toks:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                key = (a, b)
+                big[key] = big.get(key, 0) + 1
+        w1 = list(uni.keys()) + [a for a, _ in big]
+        w2 = [""] * len(uni) + [b for _, b in big]
+        n = list(uni.values()) + list(big.values())
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "n": pa.array(n, pa.int64())})
+
+    # domain-sized reduce (distinct unigrams + bigrams), materialized once:
+    # it feeds the two totals and the candidate pull below
+    agg = (docs_ds.select_columns(["text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+           .materialize())
+    n_uni = agg.filter(expr="w2 == ''").sum("n") or 0
+    n_big = agg.filter(expr="w2 != ''").sum("n") or 0
+
+    import ray.data
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "pmi_i": pa.array([], pa.int64())})
+    if not n_big:
+        return ray.data.from_arrow(empty)
+
+    # bounded candidate pull: bigrams with n >= min_count plus their
+    # unigrams (whose counts are >= any containing bigram's, so the same
+    # filter keeps them) — candidate-set-sized, not corpus-sized
+    cand = agg.filter(expr=f"n >= {min_count}").to_pandas()
+    uni = dict(zip(cand.loc[cand["w2"] == "", "w1"],
+                   cand.loc[cand["w2"] == "", "n"]))
+    bg = cand[cand["w2"] != ""]
+    rows = []
+    for w1, w2, n12 in zip(bg["w1"], bg["w2"], bg["n"]):
+        n1, n2 = int(uni[w1]), int(uni[w2])
+        v = (math.log(n12) - math.log(n_big) + math.log(n_uni)
+             - math.log(n1) + math.log(n_uni) - math.log(n2))
+        rows.append((w1, w2, int(n12), math.floor(scale * v + 0.5)))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    rows = rows[:k]
+    if not rows:
+        return ray.data.from_arrow(empty)
+    c1, c2, cn, cp = zip(*rows)
+    return ray.data.from_arrow(pa.table({
+        "w1": pa.array(c1, pa.string()), "w2": pa.array(c2, pa.string()),
+        "n": pa.array(cn, pa.int64()), "pmi_i": pa.array(cp, pa.int64())}))
+
+
+def pmi_bigrams_sql(min_count: int = 5, k: int = 100,
+                    scale: int = 10 ** 6,
+                    docs: str = "documents") -> str:
+    # ln(...) terms appear in the Python side's exact order (left-assoc)
+    return f"""
+    WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                  FROM {docs}),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+    big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                         unnest(ws[2:len(ws)]) AS w2 FROM toks)
+            GROUP BY w1, w2),
+    tot AS (SELECT (SELECT sum(n) FROM uni) AS nu,
+                   (SELECT sum(n) FROM big) AS nb)
+    SELECT big.w1, big.w2, big.n,
+           CAST(floor({scale} * (ln(big.n) - ln(nb) + ln(nu) - ln(u1.n)
+                                 + ln(nu) - ln(u2.n)) + 0.5)
+                AS BIGINT) AS pmi_i
+    FROM big CROSS JOIN tot
+    JOIN uni u1 ON big.w1 = u1.w
+    JOIN uni u2 ON big.w2 = u2.w
+    WHERE big.n >= {min_count}
+    ORDER BY pmi_i DESC, big.w1, big.w2
+    LIMIT {k}"""

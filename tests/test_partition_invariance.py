@@ -293,3 +293,10 @@ def test_c4_filters_partition_invariant(ray_session):
                                 for i in range(150)], "text": texts})
     a, b = _two_layouts(pdf, c4_filters)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pmi_bigrams_partition_invariant(ray_session, docs_pdf):
+    from seo_crawler_ray.pipelines.textops import pmi_bigrams
+    a, b = _two_layouts(docs_pdf,
+                        lambda ds: pmi_bigrams(ds, min_count=3, k=40))
+    pd.testing.assert_frame_equal(a, b)
