@@ -230,6 +230,13 @@ def q_pmi_bigrams(sf_dir: str):
     return textops.pmi_bigrams(_docs_ds(sf_dir), min_count=5, k=100)
 
 
+def q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary-growth curve: distinct-term count below each
+    doc-id decile checkpoint — one term-domain-sized min-shuffle
+    (textops.vocab_growth)."""
+    return textops.vocab_growth(_docs_ds(sf_dir))
+
+
 def q_degree_stats(sf_dir: str):
     """In/out degree distribution of the internal link graph."""
     from .graph import degree_stats
@@ -1414,6 +1421,7 @@ def queries() -> dict:
         "host_pagerank": q_host_pagerank,
         "c4_filters": q_c4_filters,
         "pmi_bigrams": q_pmi_bigrams,
+        "vocab_growth": q_vocab_growth,
         "dup_ngram_spans": q_dup_ngram_spans,
         "resume_rebuild": q_resume_rebuild,
         "crawl_pages": q_crawl_pages,
@@ -1709,6 +1717,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "host_pagerank": _host_pagerank_sql(exp_pages, exp_links, n_iter=5),
         "c4_filters": textops.c4_filters_sql(_cp("pages.parquet")),
         "pmi_bigrams": textops.pmi_bigrams_sql(min_count=5, k=100),
+        "vocab_growth": textops.vocab_growth_sql(),
         "hits_scores": _hits_sql(exp_pages, exp_links, n_iter=5),
         "epoch_shuffle": textops.epoch_shuffle_sql("documents", seed=1,
                                                    n_shards=16),

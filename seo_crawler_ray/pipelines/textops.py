@@ -3416,3 +3416,89 @@ def pmi_bigrams_sql(min_count: int = 5, k: int = 100,
     WHERE big.n >= {min_count}
     ORDER BY pmi_i DESC, big.w1, big.w2
     LIMIT {k}"""
+
+
+# ------------------------------------------ Heaps-law vocabulary growth ---
+def vocab_growth(docs_ds, n_checkpoints: int = 10):
+    """Vocabulary-growth curve (Heaps' law): for each checkpoint
+    m_k = floor((max_doc_id + 1) * k / K), the count of distinct terms
+    whose FIRST occurrence (min doc_id) precedes m_k — the
+    type-token curve data engineers use to size tokenizer vocabularies
+    and spot corpus drift. ONE term-domain-sized shuffle: per-batch
+    (term -> min doc_id) combiners, groupby-min, then a K-bucket
+    per-batch histogram + K-row cumulative finish. Integer arithmetic
+    end to end (floor-divided checkpoints), so the DuckDB oracle
+    hash-matches."""
+    from ray.data.aggregate import Min, Sum
+
+    max_id = docs_ds.max("doc_id")
+    if max_id is None:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "k": pa.array([], pa.int64()),
+            "checkpoint": pa.array([], pa.int64()),
+            "vocab": pa.array([], pa.int64())}))
+    m = int(max_id) + 1
+    cps = np.array([(m * k) // n_checkpoints
+                    for k in range(1, n_checkpoints + 1)], dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        firsts: dict = {}
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            for w in _PMI_TOKEN_RE.findall(text.lower()):
+                prev = firsts.get(w)
+                if prev is None or doc_id < prev:
+                    firsts[w] = doc_id
+        return pa.table({
+            "term": pa.array(list(firsts.keys()), pa.string()),
+            "f": pa.array(list(firsts.values()), pa.int64())})
+
+    firsts = (docs_ds.select_columns(["doc_id", "text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("term").aggregate(Min("f", alias_name="f")))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        # smallest k whose checkpoint exceeds f: searchsorted on the
+        # ascending checkpoint array (side='right' -> first cp > f)
+        f = batch["f"].to_numpy(zero_copy_only=False)
+        kmin = np.searchsorted(cps, f, side="right") + 1
+        counts = np.bincount(kmin, minlength=n_checkpoints + 2)
+        ks = np.nonzero(counts)[0]
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "n": pa.array(counts[ks], pa.int64())})
+
+    agg = (firsts.map_batches(hist, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())          # bounded: <= n_checkpoints + 1 rows
+    by_k = dict(zip(agg["k"], agg["n"]))
+    rows_k, rows_cp, rows_v = [], [], []
+    cum = 0
+    for k in range(1, n_checkpoints + 1):
+        cum += int(by_k.get(k, 0))
+        rows_k.append(k)
+        rows_cp.append(int(cps[k - 1]))
+        rows_v.append(cum)
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array(rows_k, pa.int64()),
+        "checkpoint": pa.array(rows_cp, pa.int64()),
+        "vocab": pa.array(rows_v, pa.int64())}))
+
+
+def vocab_growth_sql(n_checkpoints: int = 10,
+                     docs: str = "documents") -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(lower(text),
+                                                   '[a-z0-9]+')) AS w
+                  FROM {docs}),
+    f AS (SELECT w, min(doc_id) AS f FROM toks GROUP BY w),
+    n AS (SELECT max(doc_id) + 1 AS m FROM {docs}),
+    ks AS (SELECT unnest(generate_series(1, {n_checkpoints})) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST((n.m * ks.k) // {n_checkpoints} AS BIGINT) AS checkpoint,
+           CAST(count_if(f.f < (n.m * ks.k) // {n_checkpoints})
+                AS BIGINT) AS vocab
+    FROM ks CROSS JOIN n CROSS JOIN f
+    GROUP BY ks.k, n.m"""

@@ -300,3 +300,9 @@ def test_pmi_bigrams_partition_invariant(ray_session, docs_pdf):
     a, b = _two_layouts(docs_pdf,
                         lambda ds: pmi_bigrams(ds, min_count=3, k=40))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_vocab_growth_partition_invariant(ray_session, docs_pdf):
+    from seo_crawler_ray.pipelines.textops import vocab_growth
+    a, b = _two_layouts(docs_pdf, lambda ds: vocab_growth(ds))
+    pd.testing.assert_frame_equal(a, b)

@@ -1607,3 +1607,32 @@ def test_pmi_bigrams_empty_corpus(ray_session):
     # a Ray quirk — so assert on the Dataset schema)
     assert out.schema().names == ["w1", "w2", "n", "pmi_i"]
     assert out.count() == 0
+
+
+# ------------------------------------------ Heaps-law vocabulary growth ---
+def test_vocab_growth_matches_sql(ray_session, tmp_path):
+    """Decile checkpoints + first-occurrence counting vs the DuckDB
+    oracle, including non-contiguous doc_ids and checkpoint-boundary
+    terms (f == checkpoint is NOT counted at that k)."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import (vocab_growth,
+                                                   vocab_growth_sql)
+    rng = np.random.RandomState(29)
+    vocab = [f"t{i}" for i in range(60)]
+    ids = sorted(rng.choice(2000, 90, replace=False))  # non-contiguous
+    pdf = pd.DataFrame({
+        "doc_id": ids,
+        "text": [" ".join(rng.choice(vocab, rng.randint(1, 25)))
+                 for _ in ids]})
+    pdf.to_parquet(tmp_path / "docs.parquet")
+    got = vocab_growth(ray.data.from_pandas(pdf).repartition(5)) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    want = duckdb.sql(vocab_growth_sql(
+        docs=f"read_parquet('{tmp_path / 'docs.parquet'}')")).df() \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["vocab"].is_monotonic_increasing
+    n_distinct = len({w for t in pdf["text"] for w in t.split()})
+    assert got["vocab"].iloc[-1] == n_distinct   # last checkpoint = all
