@@ -900,3 +900,38 @@ def host_pagerank_sql(exp_pages: str, exp_links: str, n_iter: int = 5,
                    regexp_extract(target_url, '{HOST_RE_SQL}', 1) AS dst
             FROM read_parquet('{exp_links}')""",
         n_iter, d_pct, scale, out_node="host")
+
+
+# ------------------------------------------------- reciprocal links ------
+def mutual_links(pages_ds, links_ds, n_buckets: int = 64):
+    """Reciprocal internal link pairs: (url_a, url_b), url_a < url_b,
+    where BOTH directed edges exist in the deduped internal edge set
+    (``_internal_edges`` semantics — crawled targets only; a mutual pair
+    therefore has both endpoints crawled, since each is the other's
+    target). One extra canonical-pair groupby on top of the edge
+    co-shuffle; the two directions are globally distinct rows after
+    dedup, so count==2 detects reciprocity without a self-join."""
+    edges = _internal_edges(links_ds, pages_ds, n_buckets)
+
+    def canonical(batch: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(batch["src"], batch["dst"])
+        hi = pc.max_element_wise(batch["src"], batch["dst"])
+        return pa.table({"url_a": lo, "url_b": hi})
+
+    counted = edges.map_batches(canonical, batch_format="pyarrow") \
+        .groupby(["url_a", "url_b"]).count()
+    # "count()" is not addressable by filter(expr=...), so filter in-batch
+    return counted.map_batches(
+        lambda b: b.filter(pc.equal(b["count()"], 2))
+        .select(["url_a", "url_b"]), batch_format="pyarrow")
+
+
+def mutual_links_sql(exp_pages: str, exp_links: str) -> str:
+    return f"""
+    WITH e0 AS (
+        SELECT DISTINCT source_url AS src, target_url AS dst
+        FROM read_parquet('{exp_links}')
+        WHERE is_internal AND source_url <> target_url
+          AND target_url IN (SELECT url FROM read_parquet('{exp_pages}')))
+    SELECT least(src, dst) AS url_a, greatest(src, dst) AS url_b
+    FROM e0 GROUP BY 1, 2 HAVING count(*) = 2"""

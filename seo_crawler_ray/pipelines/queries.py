@@ -34,6 +34,7 @@ from .graph import degree_stats_sql as _degree_stats_sql
 from .graph import hits_sql as _hits_sql
 from .graph import link_components_sql as _link_components_sql
 from .graph import host_pagerank_sql as _host_pagerank_sql
+from .graph import mutual_links_sql as _mutual_links_sql
 from .graph import pagerank_sql as _pagerank_sql
 
 SF01 = "/root/testdata/sf0.01"
@@ -235,6 +236,14 @@ def q_vocab_growth(sf_dir: str):
     doc-id decile checkpoint — one term-domain-sized min-shuffle
     (textops.vocab_growth)."""
     return textops.vocab_growth(_docs_ds(sf_dir))
+
+
+def q_mutual_links(sf_dir: str):
+    """Reciprocal internal link pairs (both directions present in the
+    deduped crawled-target edge set) — canonical-pair groupby on the
+    shared edge co-shuffle (graph.mutual_links)."""
+    from .graph import mutual_links
+    return mutual_links(_pages_ds(sf_dir), _links_ds(sf_dir))
 
 
 def q_degree_stats(sf_dir: str):
@@ -1422,6 +1431,7 @@ def queries() -> dict:
         "c4_filters": q_c4_filters,
         "pmi_bigrams": q_pmi_bigrams,
         "vocab_growth": q_vocab_growth,
+        "mutual_links": q_mutual_links,
         "dup_ngram_spans": q_dup_ngram_spans,
         "resume_rebuild": q_resume_rebuild,
         "crawl_pages": q_crawl_pages,
@@ -1718,6 +1728,7 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "c4_filters": textops.c4_filters_sql(_cp("pages.parquet")),
         "pmi_bigrams": textops.pmi_bigrams_sql(min_count=5, k=100),
         "vocab_growth": textops.vocab_growth_sql(),
+        "mutual_links": _mutual_links_sql(exp_pages, exp_links),
         "hits_scores": _hits_sql(exp_pages, exp_links, n_iter=5),
         "epoch_shuffle": textops.epoch_shuffle_sql("documents", seed=1,
                                                    n_shards=16),

@@ -339,3 +339,33 @@ def test_host_pagerank_distributed_path_identical(host_graph):
                        mode="distributed", n_buckets=8).to_pandas()
     assert (dict(zip(bc["host"], bc["pr"]))
             == dict(zip(di["host"], di["pr"])))
+
+
+def test_mutual_links_matches_sql(host_graph, tmp_path):
+    """Reciprocal-pair detection vs the DuckDB oracle, incl. the traps:
+    a one-directional pair, a duplicated edge (dedup must keep count==2
+    detection honest), and a reciprocal pair whose second direction
+    targets an uncrawled URL (not mutual under crawled-target edges)."""
+    import duckdb
+    import ray.data
+    from seo_crawler_ray.pipelines.graph import mutual_links, mutual_links_sql
+    a, b, c = ("https://m.example/a", "https://m.example/b",
+               "https://m.example/c")
+    un = "https://m.example/uncrawled"
+    pages = pd.DataFrame({"url": [a, b, c]})
+    links = pd.DataFrame(
+        [(a, b, True), (b, a, True),          # mutual
+         (a, b, True),                        # duplicate edge
+         (a, c, True),                        # one-directional
+         (c, un, True), (un, c, True)],       # "mutual" with uncrawled
+        columns=["source_url", "target_url", "is_internal"])
+    pages.to_parquet(tmp_path / "p.parquet")
+    links.to_parquet(tmp_path / "l.parquet")
+    got = mutual_links(ray.data.from_pandas(pages),
+                       ray.data.from_pandas(links), n_buckets=4) \
+        .to_pandas().sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    want = duckdb.sql(mutual_links_sql(str(tmp_path / "p.parquet"),
+                                       str(tmp_path / "l.parquet"))).df() \
+        .sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got.values.tolist() == [[a, b]]

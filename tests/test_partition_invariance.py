@@ -306,3 +306,23 @@ def test_vocab_growth_partition_invariant(ray_session, docs_pdf):
     from seo_crawler_ray.pipelines.textops import vocab_growth
     a, b = _two_layouts(docs_pdf, lambda ds: vocab_growth(ds))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_mutual_links_partition_invariant(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.graph import mutual_links
+    rng = np.random.RandomState(31)
+    urls = [f"https://q.example/p{i}" for i in range(40)]
+    links = pd.DataFrame({
+        "source_url": [urls[rng.randint(40)] for _ in range(400)],
+        "target_url": [urls[rng.randint(40)] for _ in range(400)],
+        "is_internal": True})
+    pages = pd.DataFrame({"url": urls})
+
+    def run(np_, nl_):
+        return _sorted(mutual_links(
+            ray.data.from_pandas(pages).repartition(np_),
+            ray.data.from_pandas(links).repartition(nl_),
+            n_buckets=4).to_pandas())
+
+    pd.testing.assert_frame_equal(run(1, 1), run(7, 13))
