@@ -119,6 +119,9 @@ def run_bench() -> dict:
           lambda: textops.dsir_weights(
               docs, target_sources=("src0", "src1", "src2")).count())
     timed("ppl_buckets", lambda: textops.ppl_buckets(docs).count())
+    timed("pmi_bigrams",
+          lambda: textops.pmi_bigrams(docs, min_count=5, k=100).count())
+    timed("c4_filters", lambda: queries.q_c4_filters(SF_DIR).count())
     emb = queries._emb_ds(SF_DIR)
     timed("ann_topk", lambda: len(embedops.ann_topk(emb)))
     ev = queries._events_ds(SF_DIR)
