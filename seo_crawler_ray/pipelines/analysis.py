@@ -455,3 +455,48 @@ def host_stats(pages_ds):
             .append_column("mean_size_bytes", pa.array(mean, pa.int64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def orphan_pages(pages_ds, links_ds, mode: str = "auto",
+                 n_buckets: int = 64,
+                 broadcast_limit: int = 500_000):
+    """Orphan-page detection (the SEO-audit staple: crawled pages with NO
+    incoming internal link from another page — reachable only via seed /
+    sitemap). Anti-join of the page set against distinct non-self
+    internal link targets; auto-switches between a driver-resident
+    target set (<= broadcast_limit pages — the same residency the
+    broadcast joins already pay) and the ``bucketed_anti_min``
+    co-shuffle. Returns (url, depth)."""
+    import pyarrow.compute as pc
+
+    from .coshuffle import bucketed_anti_min
+
+    def internal_targets(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(batch["is_internal"],
+                       pc.invert(pc.equal(batch["source_url"],
+                                          batch["target_url"])))
+        t = batch.filter(keep).select(["target_url"])
+        return t.group_by("target_url").aggregate([])   # per-batch distinct
+
+    targets = links_ds.select_columns(
+        ["source_url", "target_url", "is_internal"]) \
+        .map_batches(internal_targets, batch_format="pyarrow")
+
+    if mode == "auto":
+        mode = ("broadcast" if pages_ds.count() <= broadcast_limit
+                else "distributed")
+    if mode == "broadcast":
+        import pyarrow.compute as _pc
+        linked = pa.array(
+            sorted(set(targets.to_pandas()["target_url"])), pa.string())
+
+        def not_linked(b: pa.Table) -> pa.Table:
+            mask = _pc.invert(_pc.is_in(b["url"].cast(pa.string()),
+                                        value_set=linked))
+            return b.filter(mask)
+
+        return pages_ds.select_columns(["url", "depth"]) \
+            .map_batches(not_linked, batch_format="pyarrow")
+    return bucketed_anti_min(pages_ds.select_columns(["url", "depth"]),
+                             "url", "depth", targets, "target_url",
+                             n_buckets=n_buckets)

@@ -145,6 +145,9 @@ def bucketed_anti_min(probe_ds, probe_key: str, rank_col: str,
             return pd.DataFrame({probe_key: pd.Series([], dtype="object"),
                                  rank_col: pd.Series([], dtype="int64")})
         agg = pending.groupby("key", sort=False)["rank"].min().reset_index()
+        # the union's null crawled-side ranks promote the pandas column to
+        # float64; pending rows are all non-null ints, so restore int64
+        agg["rank"] = agg["rank"].astype("int64")
         return agg.rename(columns={"key": probe_key, "rank": rank_col})
 
     return (probe_ds.map_batches(tag_probe, batch_format="pyarrow")

@@ -903,14 +903,43 @@ def host_pagerank_sql(exp_pages: str, exp_links: str, n_iter: int = 5,
 
 
 # ------------------------------------------------- reciprocal links ------
-def mutual_links(pages_ds, links_ds, n_buckets: int = 64):
+def mutual_links(pages_ds, links_ds, n_buckets: int = 64,
+                 mode: str = "auto",
+                 broadcast_node_limit: int = BROADCAST_NODE_LIMIT):
     """Reciprocal internal link pairs: (url_a, url_b), url_a < url_b,
     where BOTH directed edges exist in the deduped internal edge set
     (``_internal_edges`` semantics — crawled targets only; a mutual pair
     therefore has both endpoints crawled, since each is the other's
-    target). One extra canonical-pair groupby on top of the edge
-    co-shuffle; the two directions are globally distinct rows after
-    dedup, so count==2 detects reciprocity without a self-join."""
+    target). Same broadcast/co-shuffle auto-switch as ``pagerank`` (the
+    driver-resident edge list is the identical residency the broadcast
+    pagerank already pays at <= broadcast_node_limit nodes); above the
+    limit, one canonical-pair groupby on top of the edge co-shuffle —
+    the two directions are globally distinct rows after dedup, so
+    count==2 detects reciprocity without a self-join."""
+    import ray.data
+
+    if mode == "auto":
+        mode = ("broadcast"
+                if pages_ds.count() <= broadcast_node_limit
+                else "distributed")
+    if mode == "broadcast":
+        crawled = set(
+            pages_ds.select_columns(["url"]).to_pandas()["url"])
+        ln = links_ds.select_columns(
+            ["source_url", "target_url", "is_internal"]).to_pandas()
+        ln = ln[ln["is_internal"]
+                & (ln["source_url"] != ln["target_url"])
+                & ln["target_url"].isin(crawled)]
+        e = ln[["source_url", "target_url"]].drop_duplicates()
+        lo = np.minimum(e["source_url"], e["target_url"])
+        hi = np.maximum(e["source_url"], e["target_url"])
+        g = pd.DataFrame({"url_a": lo, "url_b": hi}) \
+            .groupby(["url_a", "url_b"], sort=True).size()
+        out = g[g == 2].reset_index()
+        return ray.data.from_arrow(pa.table({
+            "url_a": pa.array(out["url_a"], pa.string()),
+            "url_b": pa.array(out["url_b"], pa.string())}))
+
     edges = _internal_edges(links_ds, pages_ds, n_buckets)
 
     def canonical(batch: pa.Table) -> pa.Table:

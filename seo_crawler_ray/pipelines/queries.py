@@ -246,6 +246,13 @@ def q_mutual_links(sf_dir: str):
     return mutual_links(_pages_ds(sf_dir), _links_ds(sf_dir))
 
 
+def q_orphan_pages(sf_dir: str):
+    """SEO-audit orphan detection: crawled pages with no incoming
+    internal link from another page (anti-join, auto broadcast /
+    bucketed co-shuffle — analysis.orphan_pages)."""
+    return analysis.orphan_pages(_pages_ds(sf_dir), _links_ds(sf_dir))
+
+
 def q_degree_stats(sf_dir: str):
     """In/out degree distribution of the internal link graph."""
     from .graph import degree_stats
@@ -1432,6 +1439,7 @@ def queries() -> dict:
         "pmi_bigrams": q_pmi_bigrams,
         "vocab_growth": q_vocab_growth,
         "mutual_links": q_mutual_links,
+        "orphan_pages": q_orphan_pages,
         "dup_ngram_spans": q_dup_ngram_spans,
         "resume_rebuild": q_resume_rebuild,
         "crawl_pages": q_crawl_pages,
@@ -1729,6 +1737,12 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "pmi_bigrams": textops.pmi_bigrams_sql(min_count=5, k=100),
         "vocab_growth": textops.vocab_growth_sql(),
         "mutual_links": _mutual_links_sql(exp_pages, exp_links),
+        "orphan_pages": f"""
+            SELECT url, depth FROM read_parquet('{exp_pages}')
+            WHERE url NOT IN (SELECT DISTINCT target_url
+                              FROM read_parquet('{exp_links}')
+                              WHERE is_internal
+                                AND source_url <> target_url)""",
         "hits_scores": _hits_sql(exp_pages, exp_links, n_iter=5),
         "epoch_shuffle": textops.epoch_shuffle_sql("documents", seed=1,
                                                    n_shards=16),

@@ -364,8 +364,36 @@ def test_mutual_links_matches_sql(host_graph, tmp_path):
     got = mutual_links(ray.data.from_pandas(pages),
                        ray.data.from_pandas(links), n_buckets=4) \
         .to_pandas().sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    di = mutual_links(ray.data.from_pandas(pages),
+                      ray.data.from_pandas(links), n_buckets=4,
+                      mode="distributed") \
+        .to_pandas().sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, di)   # auto=broadcast == co-shuffle
     want = duckdb.sql(mutual_links_sql(str(tmp_path / "p.parquet"),
                                        str(tmp_path / "l.parquet"))).df() \
         .sort_values(["url_a", "url_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert got.values.tolist() == [[a, b]]
+
+
+def test_orphan_pages_paths_identical(host_graph):
+    """Broadcast and co-shuffle anti-join paths agree, incl. the traps:
+    a page linked only by itself (self-link => still orphan) and a page
+    linked only via an external link record."""
+    import ray.data
+    from seo_crawler_ray.pipelines.analysis import orphan_pages
+    a, b, c = ("https://o.example/a", "https://o.example/b",
+               "https://o.example/c")
+    pages = pd.DataFrame({"url": [a, b, c], "depth": [0, 1, 2]})
+    links = pd.DataFrame(
+        [(a, b, True),       # b linked
+         (c, c, True),       # self-link: c stays orphan
+         (b, c, False)],     # external record: c stays orphan
+        columns=["source_url", "target_url", "is_internal"])
+    pds, lds = ray.data.from_pandas(pages), ray.data.from_pandas(links)
+    bc = orphan_pages(pds, lds).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    di = orphan_pages(pds, lds, mode="distributed", n_buckets=4) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, di)
+    assert bc["url"].tolist() == [a, c]

@@ -323,6 +323,27 @@ def test_mutual_links_partition_invariant(ray_session):
         return _sorted(mutual_links(
             ray.data.from_pandas(pages).repartition(np_),
             ray.data.from_pandas(links).repartition(nl_),
-            n_buckets=4).to_pandas())
+            n_buckets=4, mode="distributed").to_pandas())
+
+    pd.testing.assert_frame_equal(run(1, 1), run(7, 13))
+
+
+def test_orphan_pages_partition_invariant(ray_session):
+    import ray.data
+    from seo_crawler_ray.pipelines.analysis import orphan_pages
+    rng = np.random.RandomState(37)
+    urls = [f"https://r.example/p{i}" for i in range(60)]
+    pages = pd.DataFrame({"url": urls,
+                          "depth": rng.randint(0, 5, 60).astype("int64")})
+    links = pd.DataFrame({
+        "source_url": [urls[rng.randint(60)] for _ in range(150)],
+        "target_url": [urls[rng.randint(60)] for _ in range(150)],
+        "is_internal": rng.rand(150) < 0.7})
+
+    def run(np_, nl_):
+        return _sorted(orphan_pages(
+            ray.data.from_pandas(pages).repartition(np_),
+            ray.data.from_pandas(links).repartition(nl_),
+            mode="distributed", n_buckets=4).to_pandas())
 
     pd.testing.assert_frame_equal(run(1, 1), run(7, 13))
