@@ -253,6 +253,14 @@ def q_orphan_pages(sf_dir: str):
     return analysis.orphan_pages(_pages_ds(sf_dir), _links_ds(sf_dir))
 
 
+def q_alpha_mixture_quota(sf_dir: str):
+    """mC4/XLM-R temperature (alpha) sampling quotas per language —
+    integer largest-remainder apportionment over n_lang**alpha weights
+    (textops.alpha_mixture_quota)."""
+    return textops.alpha_mixture_quota(_docs_ds(sf_dir), key_col="lang",
+                                       budget=10_000, alpha=0.3)
+
+
 def q_degree_stats(sf_dir: str):
     """In/out degree distribution of the internal link graph."""
     from .graph import degree_stats
@@ -1440,6 +1448,7 @@ def queries() -> dict:
         "vocab_growth": q_vocab_growth,
         "mutual_links": q_mutual_links,
         "orphan_pages": q_orphan_pages,
+        "alpha_mixture_quota": q_alpha_mixture_quota,
         "dup_ngram_spans": q_dup_ngram_spans,
         "resume_rebuild": q_resume_rebuild,
         "crawl_pages": q_crawl_pages,
@@ -1736,6 +1745,8 @@ def oracle_sql(sf_dir: str = SF01) -> dict:
         "c4_filters": textops.c4_filters_sql(_cp("pages.parquet")),
         "pmi_bigrams": textops.pmi_bigrams_sql(min_count=5, k=100),
         "vocab_growth": textops.vocab_growth_sql(),
+        "alpha_mixture_quota": textops.alpha_mixture_quota_sql(
+            key_col="lang", budget=10_000, alpha=0.3),
         "mutual_links": _mutual_links_sql(exp_pages, exp_links),
         "orphan_pages": f"""
             SELECT url, depth FROM read_parquet('{exp_pages}')

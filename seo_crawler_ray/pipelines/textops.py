@@ -3502,3 +3502,72 @@ def vocab_growth_sql(n_checkpoints: int = 10,
                 AS BIGINT) AS vocab
     FROM ks CROSS JOIN n CROSS JOIN f
     GROUP BY ks.k, n.m"""
+
+
+# ------------------------------ temperature (alpha) mixture quotas -------
+def alpha_mixture_quota(docs_ds, key_col: str = "lang",
+                        budget: int = 10_000, alpha: float = 0.3,
+                        scale: int = 10 ** 6):
+    """Temperature-scaled mixture quotas (the mC4 / XLM-R alpha-sampling
+    rule, Xue 2021 / Conneau 2020): upweight low-resource groups by
+    sampling proportionally to n_k**alpha instead of n_k. Exact integer
+    contract so the oracle hash-matches: the only float op is the
+    per-group weight w_k = floor(scale * exp(alpha * ln(n_k)) + 0.5)
+    (exp/ln in the SQL's literal operation order — pow() elided on both
+    sides so libm pow identities can't differ); quotas are then pure
+    integer largest-remainder apportionment of ``budget`` over w_k,
+    leftover units to the largest remainders (ties: key ascending).
+    ONE group-domain-sized count reduce; the apportionment is a
+    groups-sized driver finish."""
+    import math
+
+    counts = docs_ds.groupby(key_col).count().to_pandas()  # groups-sized
+    counts = counts.sort_values(key_col).reset_index(drop=True)
+    if not len(counts):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            key_col: pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64()),
+            "quota": pa.array([], pa.int64())}))
+    keys = counts[key_col].tolist()
+    ns = [int(x) for x in counts["count()"]]
+    ws = [math.floor(scale * math.exp(alpha * math.log(n)) + 0.5)
+          for n in ns]
+    W = sum(ws)
+    base = [(budget * w) // W for w in ws]
+    rem = [budget * w - b * W for w, b in zip(ws, base)]
+    leftover = budget - sum(base)
+    order = sorted(range(len(keys)), key=lambda i: (-rem[i], keys[i]))
+    quota = list(base)
+    for i in order[:leftover]:
+        quota[i] += 1
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        key_col: pa.array(keys, pa.string()),
+        "n_docs": pa.array(ns, pa.int64()),
+        "w": pa.array(ws, pa.int64()),
+        "quota": pa.array(quota, pa.int64())}))
+
+
+def alpha_mixture_quota_sql(key_col: str = "lang", budget: int = 10_000,
+                            alpha: float = 0.3, scale: int = 10 ** 6,
+                            docs: str = "documents") -> str:
+    return f"""
+    WITH w AS (SELECT {key_col}, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(floor({scale} * exp({alpha!r} * ln(count(*)))
+                                 + 0.5) AS BIGINT) AS w
+               FROM {docs} GROUP BY {key_col}),
+    tot AS (SELECT sum(w) AS tw FROM w),
+    base AS (SELECT {key_col}, n_docs, w,
+                    (CAST({budget} AS BIGINT) * w) // tw AS q0,
+                    CAST({budget} AS BIGINT) * w
+                      - ((CAST({budget} AS BIGINT) * w) // tw) * tw AS rem
+             FROM w CROSS JOIN tot),
+    lo AS (SELECT CAST({budget} AS BIGINT) - sum(q0) AS l FROM base)
+    SELECT {key_col}, n_docs, w,
+           CAST(q0 + CASE WHEN row_number() OVER
+                              (ORDER BY rem DESC, {key_col} ASC)
+                          <= (SELECT l FROM lo)
+                     THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM base"""

@@ -347,3 +347,11 @@ def test_orphan_pages_partition_invariant(ray_session):
             mode="distributed", n_buckets=4).to_pandas())
 
     pd.testing.assert_frame_equal(run(1, 1), run(7, 13))
+
+
+def test_alpha_mixture_quota_partition_invariant(ray_session, docs_pdf):
+    from seo_crawler_ray.pipelines.textops import alpha_mixture_quota
+    a, b = _two_layouts(
+        docs_pdf, lambda ds: alpha_mixture_quota(ds, key_col="source",
+                                                 budget=997, alpha=0.3))
+    pd.testing.assert_frame_equal(a, b)

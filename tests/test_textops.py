@@ -1636,3 +1636,45 @@ def test_vocab_growth_matches_sql(ray_session, tmp_path):
     assert got["vocab"].is_monotonic_increasing
     n_distinct = len({w for t in pdf["text"] for w in t.split()})
     assert got["vocab"].iloc[-1] == n_distinct   # last checkpoint = all
+
+
+# --------------------------------- temperature (alpha) mixture quotas -----
+def test_alpha_mixture_quota_matches_sql(ray_session, tmp_path):
+    """Skewed group sizes vs the DuckDB oracle; quotas must sum exactly
+    to the budget and upweight the smallest group relative to its raw
+    share (the point of alpha < 1)."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import (alpha_mixture_quota,
+                                                   alpha_mixture_quota_sql)
+    sizes = {"aa": 700, "bb": 150, "cc": 90, "dd": 47, "ee": 13}
+    rows = [{"lang": k, "text": f"doc {k} {i}"}
+            for k, n in sizes.items() for i in range(n)]
+    pdf = pd.DataFrame(rows)
+    pdf.to_parquet(tmp_path / "docs.parquet")
+    got = alpha_mixture_quota(ray.data.from_pandas(pdf).repartition(6),
+                              budget=1000, alpha=0.3) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    want = duckdb.sql(alpha_mixture_quota_sql(
+        budget=1000, alpha=0.3,
+        docs=f"read_parquet('{tmp_path / 'docs.parquet'}')")).df() \
+        .sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["quota"].sum() == 1000
+    share = dict(zip(got["lang"], got["quota"]))
+    # alpha=0.3 lifts ee above its raw 1.3% share and caps aa below 70%
+    assert share["ee"] / 1000 > sizes["ee"] / 1000
+    assert share["aa"] / 1000 < sizes["aa"] / 1000
+
+
+def test_alpha_mixture_quota_uniform_and_single(ray_session):
+    import pandas as pd
+    import ray.data
+    from seo_crawler_ray.pipelines.textops import alpha_mixture_quota
+    pdf = pd.DataFrame({"lang": ["x"] * 10 + ["y"] * 10, "text": "t"})
+    out = alpha_mixture_quota(ray.data.from_pandas(pdf),
+                              budget=7, alpha=0.3).to_pandas()
+    assert out["quota"].sum() == 7
+    assert sorted(out["quota"]) == [3, 4]   # tie -> key-ascending leftover
+    assert out.loc[out["lang"] == "x", "quota"].iloc[0] == 4
