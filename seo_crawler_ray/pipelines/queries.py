@@ -1436,9 +1436,16 @@ def queries() -> dict:
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
         "doc_winnow": q_doc_winnow,
-        "winnow_dup_pairs": q_winnow_dup_pairs,
-        "inverted_index": q_inverted_index,
-        # --- B: code paths touched / added in round 5 (grade on new code) -
+        # --- B: code paths touched / added in round 5 (grade on new code).
+        # The ~50-slot budget math: 38 section-A entries above + the 12
+        # here = 50. dup_ngram_spans / resume_rebuild lead (r4-VERDICT
+        # Done-criteria name them for CORRECTNESS_r05), then the three
+        # r5 operators and the seven final-day operators, all
+        # never-driver-graded. winnow_dup_pairs / inverted_index moved to
+        # section C to make room: their r3 green rows stand and both are
+        # re-verified in this session's full sf0.001+sf0.01 replicas. ---
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "resume_rebuild": q_resume_rebuild,
         "hits_scores": q_hits_scores,
         "epoch_shuffle": q_epoch_shuffle,
         "ppl_buckets": q_ppl_buckets,
@@ -1449,8 +1456,6 @@ def queries() -> dict:
         "mutual_links": q_mutual_links,
         "orphan_pages": q_orphan_pages,
         "alpha_mixture_quota": q_alpha_mixture_quota,
-        "dup_ngram_spans": q_dup_ngram_spans,
-        "resume_rebuild": q_resume_rebuild,
         "crawl_pages": q_crawl_pages,
         "crawl_order": q_crawl_order,
         "url_seen": q_url_seen,
@@ -1460,6 +1465,8 @@ def queries() -> dict:
         "crawl_stats": q_crawl_stats,
         "issues": q_issues,
         # --- C: driver-graded green on round-4 code -----------------------
+        "winnow_dup_pairs": q_winnow_dup_pairs,
+        "inverted_index": q_inverted_index,
         "pagerank": q_pagerank,
         "degree_stats": q_degree_stats,
         "link_components": q_link_components,
